@@ -1,0 +1,220 @@
+"""Typed configuration for the captioning pipeline.
+
+Reference parity: the reference drives everything off a flat executable-Python
+config module with ~80 knobs (reference code_src/config/cfg_wzn.py:1-126,
+loaded via imp.load_source at code_src/config/configuration.py:28).  Here the
+same knob surface is a typed dataclass with defaults equal to the reference's,
+plus TPU-specific knobs (mesh shape, dtype, pallas toggles).  A Python file or
+dict can still be used as the config source (``load_config``) so the
+reference's "config file is the experiment record" workflow is preserved.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+
+@dataclass
+class Config:
+    # ------------------------- paths (cfg_wzn.py:1-12) -------------------------
+    experiment_path: str = "Experiments"
+    vocab_path: str = "data/vocab.json"
+    image_dir: str = "data/MSCOCO"
+    resized_image_dir: str = "data/MSCOCO/resized"
+    captions_val_origin: str = "data/MSCOCO/annotations/captions_val2014.json"
+    captions_train_origin: str = "data/MSCOCO/annotations/captions_train2014.json"
+    splited_anno_path_prefix: str = "data/annotations/karpathy_split_"
+    train_anno_path: str = "data/annotations/karpathy_split_train.json"
+    val_anno_path: str = "data/annotations/karpathy_split_val.json"
+    test_anno_path: str = "data/annotations/karpathy_split_test.json"
+    train_eval_anno_path: str = "data/annotations/karpathy_split_train_eval.json"
+
+    # --------------------- model selection (cfg_wzn.py:15) ---------------------
+    atten_model_name: str = "adaptive_attention"  # baseline_attention|adaptive_attention|rnn_attention
+
+    # ------------------------- stage flags (cfg_wzn.py) ------------------------
+    trainOrnot: bool = False            # cfg_wzn.py:18
+    validOrnot: bool = False            # cfg_wzn.py:125
+    testOrnot: bool = False             # cfg_wzn.py:79
+    resizeOrnot: bool = False           # cfg_wzn.py:89
+    vacab_build_Ornot: bool = False     # cfg_wzn.py:93 (reference's spelling kept)
+    KarpathySplitOrnot: bool = False    # cfg_wzn.py:97
+
+    # ----------------------------- train knobs ---------------------------------
+    train_crop_size: int = 224          # cfg_wzn.py:19
+    train_log_step: int = 10            # cfg_wzn.py:20
+    train_random_seed: int = 123        # cfg_wzn.py:21
+    train_pretrained: bool = False      # cfg_wzn.py:22
+    train_pretrained_model: str = ""    # cfg_wzn.py:23
+    train_num_epochs: int = 30          # cfg_wzn.py:24
+    train_batch_size: int = 24          # cfg_wzn.py:25
+    train_early_stop: bool = True       # cfg_wzn.py:28
+    train_early_stop_patience: int = 6  # cfg_wzn.py:29
+    train_evalOrnot: bool = False       # cfg_wzn.py:30
+    train_tb_interval_batches: int = 1180  # cfg_wzn.py:31 (566748/24/20)
+    train_tb_gradOrnot: bool = True     # cfg_wzn.py:32
+    train_tb_lstm_clip_grad: bool = True  # cfg_wzn.py:33
+    train_lstm_maxnormal: float = 5.0   # cfg_wzn.py:34
+
+    # --------------------- optimization (cfg_wzn.py:37-75) ---------------------
+    opt_fine_tune_cnn_start_layer: int = 5   # ResNet child index, cfg_wzn.py:39
+    opt_fine_tune_cnn_start_epoch: int = 20  # cfg_wzn.py:40
+    opt_lrdecay_patience: int = 3            # cfg_wzn.py:43
+    opt_lrdecay_factor: float = 0.5          # cfg_wzn.py:44
+
+    opt_rnn_optimization: str = "adam"       # adam|sgd|lbfgs, cfg_wzn.py:47
+    opt_rnn_adam_alpha: float = 0.8          # beta1, cfg_wzn.py:48
+    opt_rnn_adam_beta: float = 0.999         # beta2, cfg_wzn.py:49
+    opt_rnn_adam_learning_rate: float = 1e-3  # cfg_wzn.py:50
+    opt_rnn_adam_weight_decay: float = 0.0   # cfg_wzn.py:51
+    opt_rnn_sgd_learning_rate: float = 5e-2  # cfg_wzn.py:53
+    opt_rnn_sgd_momentum: float = 0.3        # cfg_wzn.py:54
+    opt_rnn_sgd_weight_decay: float = 0.0    # cfg_wzn.py:55
+    opt_rnn_lbfgs_lr: float = 0.5            # cfg_wzn.py:57
+    opt_rnn_lbfgs_max_iter: int = 20         # cfg_wzn.py:58
+    opt_rnn_lbfgs_history: int = 50          # cfg_wzn.py:59
+
+    opt_cnn_optimization: str = "adam"       # cfg_wzn.py:63
+    opt_cnn_adam_alpha: float = 0.8          # cfg_wzn.py:64
+    opt_cnn_adam_beta: float = 0.999         # cfg_wzn.py:65
+    opt_cnn_adam_learning_rate: float = 1e-5  # cfg_wzn.py:66
+    opt_cnn_adam_weight_decay: float = 0.0   # cfg_wzn.py:67
+    opt_cnn_sgd_learning_rate: float = 4e-5  # cfg_wzn.py:69
+    opt_cnn_sgd_momentum: float = 0.99       # cfg_wzn.py:70
+    opt_cnn_sgd_weight_decay: float = 0.0    # cfg_wzn.py:71
+    opt_cnn_lbfgs_lr: float = 0.01           # cfg_wzn.py:73
+    opt_cnn_lbfgs_max_iter: int = 20         # cfg_wzn.py:74
+    opt_cnn_lbfgs_history: int = 50          # cfg_wzn.py:75
+
+    # ----------------------------- eval knobs ----------------------------------
+    test_pretrained_model: str = ""     # cfg_wzn.py:80
+    valid_pretrained_model: str = ""    # cfg_wzn.py:126
+    eval_batch_size: int = 400          # cfg_wzn.py:84
+    dataloader_num_workers: int = 8     # cfg_wzn.py:86 (host-side prefetch threads here)
+    decode_max_len: int = 30            # sampler max_len, baseline_attention.py:233
+    beam_size: int = 1                  # 1 = greedy; reference had beam search only as a TODO (for_wzn:3)
+
+    # ------------------------ preprocessing stages -----------------------------
+    resized_image_size: int = 256       # cfg_wzn.py:90
+    vocab_threshold: int = 5            # cfg_wzn.py:94
+
+    # --------------------- Karpathy split (cfg_wzn.py:96-106) ------------------
+    num_val: int = 5000
+    num_test: int = 5000
+    num_train_eval: int = 5000
+    num_train_overfit: int = 20
+    num_train_hyperparameter: int = 5000
+    num_train_eval_hyperparameter: int = 1000
+    num_val_hyperparameter: int = 1000
+
+    # ------------------- per-model hparams (cfg_wzn.py:108-122) ----------------
+    vocab_length: int = 10123           # statics:1 (set from vocab at runtime)
+    base_word_embed_size: int = 256
+    base_lstm_hidden_size: int = 512
+    adaptive_word_embed_size: int = 256
+    adaptive_lstm_hidden_size: int = 512
+    rnn_attention_bidirectional: bool = True
+    rnn_attention_embed_size: int = 256
+    rnn_attention_numlayers: int = 1
+    rnn_attention_hiddensize: int = 512
+
+    # ===================== TPU-native knobs (new in this rebuild) ==============
+    # Encoder backbone: resnet152 for reference parity; smaller variants for
+    # tests / ablations. Pretrained torch weights are ingested offline via
+    # models/torch_import.py (no network access on TPU hosts).
+    encoder_backbone: str = "resnet152"   # resnet18|34|50|101|152
+    encoder_pretrained_npz: str = ""      # path to converted pretrained weights
+    compute_dtype: str = "float32"        # float32|bfloat16 for activations
+    param_dtype: str = "float32"
+    use_pallas: str = "auto"              # auto|always|never — fused TPU kernels
+    # Decode-time sentinel h_{t-1}: the reference sampler feeds h_{t-1}=0 at
+    # every decode step (adaptive_attention.py:116-122 with seq_len==1). Keep
+    # False for checkpoint-fidelity with the reference; True uses the true
+    # previous hidden (the paper's math) during sampling.
+    sampler_sentinel_uses_prev_hidden: bool = False
+    # Greedy decode EOS masking: reference decodes a fixed 30 steps with no
+    # early exit (adaptive_attention.py:197-207). Post-<end> tokens are cut at
+    # caption-build time either way (tools/utils.py:185-190), so masking does
+    # not change outputs — but freezing finished rows lets XLA skip nothing;
+    # kept as a knob for parity experiments.
+    decode_eos_token: int = 2             # <end> id, build_vocab.py:50
+    decode_start_token: int = 1           # <start> id, baseline_attention.py:255
+    # Mesh: axis names and sizes. -1 means "all remaining devices".
+    mesh_axes: Tuple[str, ...] = ("data", "model")
+    mesh_shape: Tuple[int, ...] = (-1, 1)
+    # Gradient checkpointing for the encoder when memory-bound.
+    remat_encoder: bool = False
+
+    # Derived / runtime fields (filled by Experiment.setup or stages).
+    exp_dir: str = ""
+    model_description: str = ""
+    log_file: str = ""
+
+    # ------------------------------------------------------------------ methods
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, default=str)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def word_embed_size(self) -> int:
+        return {
+            "baseline_attention": self.base_word_embed_size,
+            "adaptive_attention": self.adaptive_word_embed_size,
+            "rnn_attention": self.rnn_attention_embed_size,
+        }[self.atten_model_name]
+
+    @property
+    def lstm_hidden_size(self) -> int:
+        return {
+            "baseline_attention": self.base_lstm_hidden_size,
+            "adaptive_attention": self.adaptive_lstm_hidden_size,
+            "rnn_attention": self.rnn_attention_hiddensize,
+        }[self.atten_model_name]
+
+
+_CONFIG_FIELDS = {f.name for f in dataclasses.fields(Config)}
+
+
+def load_config(source: Any = None, **overrides) -> Config:
+    """Build a Config from a Python file path, dict, or keyword overrides.
+
+    Mirrors the reference's exec-a-Python-file config loading
+    (configuration.py:25-40) without the `imp` machinery: module-level
+    variables in the file whose names match Config fields become field values;
+    unknown names are ignored (the reference tolerated arbitrary extras too).
+    """
+    values: Dict[str, Any] = {}
+    if isinstance(source, str) and source.endswith(".py"):
+        ns: Dict[str, Any] = {}
+        with open(source) as f:
+            exec(compile(f.read(), source, "exec"), ns)  # noqa: S102 - by design
+        values = {k: v for k, v in ns.items() if k in _CONFIG_FIELDS}
+    elif isinstance(source, str) and source.endswith(".json"):
+        with open(source) as f:
+            raw = json.load(f)
+        values = {k: v for k, v in raw.items() if k in _CONFIG_FIELDS}
+    elif isinstance(source, dict):
+        values = {k: v for k, v in source.items() if k in _CONFIG_FIELDS}
+    elif isinstance(source, Config):
+        values = source.to_dict()
+    elif source is not None:
+        raise TypeError(f"Unsupported config source: {type(source)}")
+
+    values.update({k: v for k, v in overrides.items() if k in _CONFIG_FIELDS})
+    unknown = set(overrides) - _CONFIG_FIELDS
+    if unknown:
+        raise KeyError(f"Unknown config fields: {sorted(unknown)}")
+    # Tuple-typed fields may arrive as lists from JSON.
+    for k in ("mesh_axes", "mesh_shape"):
+        if k in values and isinstance(values[k], list):
+            values[k] = tuple(values[k])
+    return Config(**values)

@@ -1,0 +1,43 @@
+"""PTB-style tokenizer for caption scoring — clean-room, no Java.
+
+Reference parity: coco/pycocoevalcap/tokenizer/ptbtokenizer.py:24-69 shells
+out to the Stanford CoreNLP PTBTokenizer jar (a missing large blob,
+.MISSING_LARGE_BLOBS:4) with -preserveLines -lowerCase, then removes a fixed
+punctuation list. Here: lowercase + Treebank-rule tokenization (NLTK's
+data-free TreebankWordTokenizer, or a regex fallback) + PTB bracket escaping
++ the same punctuation-drop list. Caption text is simple enough that this
+matches CoreNLP's output for MS-COCO-style sentences.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from adaptive_tpu.data.tokenizer import word_tokenize
+
+# ptbtokenizer.py:21-22
+PUNCTUATIONS = [
+    "''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
+    ".", "?", "!", ",", ":", "-", "--", "...", ";",
+]
+_PUNCT_SET = set(PUNCTUATIONS)
+
+# CoreNLP ptb3Escaping maps brackets to PTB symbols (which are then dropped).
+_BRACKETS = {"(": "-LRB-", ")": "-RRB-", "{": "-LCB-", "}": "-RCB-", "[": "-LSB-", "]": "-RSB-"}
+
+
+class PTBTokenizer:
+    """Drop-in replacement for the jar-backed tokenizer (same dict protocol)."""
+
+    def tokenize(self, captions_for_image: Dict) -> Dict:
+        """{img_id: [{'caption': str}, ...]} -> {img_id: [tokenized_str, ...]}."""
+        out: Dict = {}
+        for k, caps in captions_for_image.items():
+            out[k] = [tokenize_caption(c["caption"]) for c in caps]
+        return out
+
+
+def tokenize_caption(caption: str) -> str:
+    toks = word_tokenize(str(caption).replace("\n", " ").lower())
+    toks = [_BRACKETS.get(t, t) for t in toks]
+    return " ".join(t for t in toks if t not in _PUNCT_SET)

@@ -1,0 +1,184 @@
+"""Caption decoders: baseline / adaptive (visual sentinel) / rnn attention.
+
+Reference parity:
+* baseline  — code_src/models/baseline_attention.py:100-194 (Decoder +
+  AdaptiveBlock without sentinel: scores = mlp(c + h))
+* adaptive  — code_src/models/adaptive_attention.py:89-155 (sentinel s_t from
+  (x_t, h_{t-1}, c_t); 50-slot concat softmax beta; scores = mlp(c_hat + h))
+* rnn       — code_src/models/rnn_attention.py:70-83 (sigmoid-gated slots
+  aggregated by a (bi)LSTM; scores = mlp(F_T + h))
+
+TPU-first: teacher forcing runs the LSTM via one lax.scan (ops/lstm.py) and
+the attention block batched over all T timesteps at once (as the reference
+does, baseline_attention.py:184-189); single-token `decode_step` powers the
+scan-based greedy/beam decoders in adaptive_tpu.decoding.
+
+The adaptive sentinel's h_{t-1} sequence is [0, h_1, ..., h_{T-1}] — the
+reference shifts with a ZERO h0, not the encoder-provided h0
+(adaptive_attention.py:116-122), and its sampler (seq len 1 per call) feeds
+h_{t-1}=0 at every decode step. Both behaviors are reproduced; decode can opt
+into the true previous hidden via cf.sampler_sentinel_uses_prev_hidden.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from adaptive_tpu.ops import attention as att
+from adaptive_tpu.ops import inits
+from adaptive_tpu.ops.lstm import lstm_cell, lstm_scan
+
+
+class DecoderSpec(NamedTuple):
+    variant: str  # baseline_attention | adaptive_attention | rnn_attention
+    embed_size: int
+    hidden_size: int
+    vocab_size: int
+    num_slots: int = 49  # 7x7 feature map
+    atten_dim: int = 49  # projection dim inside additive attention (== slots in ref)
+    rnn_bidirectional: bool = True
+    rnn_num_layers: int = 1
+
+
+# ----------------------------------------------------------------------- init
+def init_decoder(key, spec: DecoderSpec) -> Dict:
+    ke, kl, ka = jax.random.split(key, 3)
+    p: Dict[str, Any] = {
+        # torch nn.Embedding default init: N(0, 1) (not re-initialized in ref)
+        "embed": jax.random.normal(ke, (spec.vocab_size, spec.embed_size), jnp.float32),
+        "lstm": inits.lstm_init(kl, 2 * spec.embed_size, spec.hidden_size),
+        "adaptive": _init_adaptive_block(ka, spec),
+    }
+    return p
+
+
+def _init_adaptive_block(key, spec: DecoderSpec) -> Dict:
+    H, D = spec.hidden_size, spec.atten_dim
+    k = iter(jax.random.split(key, 10))
+    mlp_in = H
+    block: Dict[str, Any] = {}
+
+    if spec.variant == "baseline_attention":
+        # Atten inits: v/g xavier_normal(tanh), h kaiming_normal(relu)
+        # (baseline_attention.py:75-76)
+        block["atten"] = {
+            "affine_v": inits.linear_params(next(k), H, D, "xavier_normal", "tanh", bias=False),
+            "affine_g": inits.linear_params(next(k), H, D, "xavier_normal", "tanh", bias=False),
+            "affine_h": inits.linear_params(next(k), D, 1, "kaiming_normal", "relu", bias=False),
+        }
+    elif spec.variant == "adaptive_attention":
+        # Atten inits: v/g/s xavier_uniform(tanh), h kaiming_normal(relu)
+        # (adaptive_attention.py:23-24); Sentinel: xavier_uniform(sigmoid) (:73)
+        block["atten"] = {
+            "affine_v": inits.linear_params(next(k), H, D, "xavier_uniform", "tanh", bias=False),
+            "affine_g": inits.linear_params(next(k), H, D, "xavier_uniform", "tanh", bias=False),
+            "affine_s": inits.linear_params(next(k), H, D, "xavier_uniform", "tanh", bias=False),
+            "affine_h": inits.linear_params(next(k), D, 1, "kaiming_normal", "relu", bias=False),
+        }
+        block["sentinel"] = {
+            "affine_x": inits.linear_params(next(k), 2 * spec.embed_size, H, "xavier_uniform", "sigmoid", bias=False),
+            "affine_h": inits.linear_params(next(k), H, H, "xavier_uniform", "sigmoid", bias=False),
+        }
+    elif spec.variant == "rnn_attention":
+        # Atten inits: v/g xavier_uniform(tanh), h xavier_uniform(sigmoid)
+        # (rnn_attention.py:27-28); aggregator LSTM lstm_init (:29)
+        hr = spec.hidden_size // 2 if spec.rnn_bidirectional else spec.hidden_size
+        block["atten"] = {
+            "affine_v": inits.linear_params(next(k), H, D, "xavier_uniform", "tanh", bias=False),
+            "affine_g": inits.linear_params(next(k), H, D, "xavier_uniform", "tanh", bias=False),
+            "affine_h": inits.linear_params(next(k), D, 1, "xavier_uniform", "sigmoid", bias=False),
+            "lstm_fwd": inits.lstm_init(next(k), H, hr),
+        }
+        if spec.rnn_bidirectional:
+            block["atten"]["lstm_bwd"] = inits.lstm_init(next(k), H, hr)
+    else:
+        raise ValueError(f"unknown variant {spec.variant}")
+
+    # Final vocab head: kaiming_normal(relu) (baseline_attention.py:114,
+    # adaptive_attention.py:108)
+    block["mlp"] = inits.linear_params(next(k), mlp_in, spec.vocab_size, "kaiming_normal", "relu")
+    return block
+
+
+# --------------------------------------------------------- adaptive block fwd
+def adaptive_block_apply(
+    block: Dict, spec: DecoderSpec, x: jnp.ndarray, hiddens: jnp.ndarray,
+    cells: jnp.ndarray, V: jnp.ndarray, h_prev: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+    """(scores [B,T,vocab], alpha [B,T,K], beta or None).
+
+    h_prev: [B,T,H] previous-step hiddens for the sentinel; if None, uses the
+    reference's zero-prefixed shift of `hiddens` (adaptive_attention.py:116-122).
+    """
+    if spec.variant == "baseline_attention":
+        c, alpha = att.spatial_attention(block["atten"], V, hiddens)
+        scores = inits.linear(block["mlp"], c + hiddens)
+        return scores, alpha, None
+
+    if spec.variant == "adaptive_attention":
+        if h_prev is None:
+            zero = jnp.zeros_like(hiddens[:, :1, :])
+            h_prev = jnp.concatenate([zero, hiddens[:, :-1, :]], axis=1) if hiddens.shape[1] > 1 else zero
+        s = att.sentinel_gate(block["sentinel"], x, h_prev, cells)
+        c_hat, alpha, beta = att.adaptive_attention(block["atten"], V, hiddens, s)
+        scores = inits.linear(block["mlp"], c_hat + hiddens)
+        return scores, alpha, beta
+
+    if spec.variant == "rnn_attention":
+        f, alpha = att.recurrent_attention(block["atten"], V, hiddens, spec.rnn_bidirectional)
+        scores = inits.linear(block["mlp"], f + hiddens)
+        return scores, alpha, None
+
+    raise ValueError(spec.variant)
+
+
+# ------------------------------------------------------------ teacher forcing
+def decoder_forward(
+    params: Dict, spec: DecoderSpec, V: jnp.ndarray, v_g: jnp.ndarray,
+    captions: jnp.ndarray, h0: jnp.ndarray, c0: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+    """Teacher-forced scores for all timesteps (Decoder.forward,
+    baseline_attention.py:148-194). captions [B,T] int -> scores [B,T,vocab].
+    """
+    emb = params["embed"][captions]  # [B,T,E]
+    x = jnp.concatenate([emb, jnp.broadcast_to(v_g[:, None, :], emb.shape)], axis=-1)
+    hiddens, cells, _ = lstm_scan(params["lstm"], x, (h0, c0))
+    return adaptive_block_apply(params["adaptive"], spec, x, hiddens, cells, V)
+
+
+# ------------------------------------------------------------- single step
+class DecodeState(NamedTuple):
+    h: jnp.ndarray  # [B,H] LSTM hidden
+    c: jnp.ndarray  # [B,H] LSTM cell
+    # Sentinel's h_{t-1}: the previous step's LSTM *output*, zero at step 0 —
+    # training shifts hiddens with a zero prefix (adaptive_attention.py:116-122),
+    # NOT with the encoder-provided h0, so decode must start from zero too.
+    h_prev: jnp.ndarray  # [B,H]
+
+
+def decode_step(
+    params: Dict, spec: DecoderSpec, token: jnp.ndarray, v_g: jnp.ndarray,
+    state: DecodeState, V: jnp.ndarray, sentinel_uses_prev_hidden: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, DecodeState]:
+    """One decode step: token [B] -> (logits [B,vocab], alpha [B,K], beta [B,1], state').
+
+    With sentinel_uses_prev_hidden=False the sentinel sees h_{t-1}=0, exactly
+    like the reference's sampler, which calls the decoder with seq-len 1 so
+    the AdaptiveBlock's shift always yields the zero h0
+    (adaptive_attention.py:116-122 under sampler :197-207).
+    """
+    emb = params["embed"][token]  # [B,E]
+    x = jnp.concatenate([emb, v_g], axis=-1)  # [B,2E]
+    h_new, (h, c) = lstm_cell(params["lstm"], x, (state.h, state.c))
+
+    h_prev = state.h_prev if sentinel_uses_prev_hidden else jnp.zeros_like(h_new)
+    scores, alpha, beta = adaptive_block_apply(
+        params["adaptive"], spec, x[:, None, :], h_new[:, None, :], c[:, None, :],
+        V, h_prev=h_prev[:, None, :],
+    )
+    if beta is None:
+        beta = jnp.zeros((token.shape[0], 1, 1), scores.dtype)
+    return scores[:, 0, :], alpha[:, 0, :], beta[:, 0, :], DecodeState(h, c, h_new)

@@ -1,0 +1,53 @@
+"""Attentive CNN encoder: ResNet feature map -> (V, v_g, h0, c0).
+
+Reference parity: AttentiveCNN (code_src/models/baseline_attention.py:11-62):
+ResNet-152 minus fc/avgpool -> A [B,7,7,2048]; V = relu(affine_a(A)) over the
+49 slots; a_g = global average pool; v_g = relu(affine_b(a_g));
+h0 = tanh(affine_h0(a_g)); c0 = tanh(affine_c0(a_g)). Inits: affine_a/b
+kaiming_uniform(relu), affine_h0/c0 xavier_uniform(tanh)
+(baseline_attention.py:29,34). Slot order matches the reference's
+view+transpose (row-major over the 7x7 grid).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from adaptive_tpu.models import resnet as R
+from adaptive_tpu.ops import inits
+
+
+def init_encoder(key, embed_size: int, hidden_size: int, arch: str) -> Tuple[Dict, Dict]:
+    kr, ka, kb, kh, kc = jax.random.split(key, 5)
+    rn_params, rn_state = R.init_resnet(kr, arch)
+    C = R.feature_channels(arch)
+    params = {
+        "resnet": rn_params,
+        "affine_a": inits.linear_params(ka, C, hidden_size, "kaiming_uniform", "relu"),
+        "affine_b": inits.linear_params(kb, C, embed_size, "kaiming_uniform", "relu"),
+        "affine_h0": inits.linear_params(kh, C, hidden_size, "xavier_uniform", "tanh"),
+        "affine_c0": inits.linear_params(kc, C, hidden_size, "xavier_uniform", "tanh"),
+    }
+    return params, {"resnet": rn_state}
+
+
+def encoder_apply(
+    params: Dict, state: Dict, images: jnp.ndarray, arch: str, train: bool = False
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict]:
+    """images NHWC float -> (V [B,K,H], v_g [B,E], h0 [B,H], c0 [B,H], state').
+
+    K = (H/32)*(W/32) spatial slots (49 at 224x224).
+    """
+    A, rn_state = R.resnet_apply(params["resnet"], state["resnet"], images, arch, train)
+    B, Hf, Wf, C = A.shape
+    A_flat = A.reshape(B, Hf * Wf, C)  # slot = h*W + w, same as torch view order
+    a_g = jnp.mean(A_flat, axis=1)  # AvgPool2d(7) == global mean (baseline_attention.py:46-47)
+
+    V = jax.nn.relu(inits.linear(params["affine_a"], A_flat))
+    v_g = jax.nn.relu(inits.linear(params["affine_b"], a_g))
+    h0 = jnp.tanh(inits.linear(params["affine_h0"], a_g))
+    c0 = jnp.tanh(inits.linear(params["affine_c0"], a_g))
+    return V, v_g, h0, c0, {"resnet": rn_state}

@@ -1,0 +1,120 @@
+"""Model factory: config -> CaptionModel (encoder + decoder variant).
+
+Reference parity: model_factory.get_model (code_src/models/model_factory.py:
+5-23) — name dispatch over {baseline_attention, adaptive_attention,
+rnn_attention}, optional checkpoint restore with the start epoch parsed from
+the checkpoint filename (model_factory.py:15-19). The reference's
+rnn_attention construction crashes on a missing cf arg (rnn_attention.py:92);
+here it is constructed correctly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from adaptive_tpu.models import decoders as D
+from adaptive_tpu.models import encoder as E
+from adaptive_tpu.models import resnet as R
+
+VARIANTS = ("baseline_attention", "adaptive_attention", "rnn_attention")
+
+
+class CaptionModel(NamedTuple):
+    """Static model description + pure apply functions bound to it."""
+
+    variant: str
+    arch: str
+    spec: D.DecoderSpec
+    crop_size: int
+    compute_dtype: Any
+
+    # ------------------------------------------------------------------ init
+    def init(self, key) -> Tuple[Dict, Dict]:
+        ke, kd = jax.random.split(key)
+        enc_params, enc_state = E.init_encoder(
+            ke, self.spec.embed_size, self.spec.hidden_size, self.arch
+        )
+        params = {"encoder": enc_params, "decoder": init_decoder_tree(kd, self.spec)}
+        return params, enc_state
+
+    # ---------------------------------------------------------------- encode
+    def encode(self, params, state, images, train: bool = False):
+        """Preprocessed float images NHWC -> (V, v_g, h0, c0, state')."""
+        return E.encoder_apply(
+            params["encoder"], state, images.astype(self.compute_dtype), self.arch, train
+        )
+
+    # --------------------------------------------------------------- forward
+    def forward(self, params, state, images, captions, train: bool = False):
+        """Teacher-forced scores: (scores [B,T,vocab], (alpha, beta), state').
+
+        Parity: Encoder2Decoder.forward (baseline_attention.py:206-230) minus
+        the packing — padded scores + loss masking replace pack_padded_sequence
+        (see training/step.py).
+        """
+        V, v_g, h0, c0, new_state = self.encode(params, state, images, train)
+        scores, alpha, beta = D.decoder_forward(
+            params["decoder"], self.spec, V, v_g, captions, h0, c0
+        )
+        return scores, (alpha, beta), new_state
+
+    # ----------------------------------------------------------- decode step
+    def decode_step(self, params, token, v_g, dstate, V, sentinel_uses_prev_hidden=False):
+        return D.decode_step(
+            params["decoder"], self.spec, token, v_g, dstate, V, sentinel_uses_prev_hidden
+        )
+
+    def init_decode_state(self, h0, c0) -> D.DecodeState:
+        return D.DecodeState(h=h0, c=c0, h_prev=jnp.zeros_like(h0))
+
+
+def init_decoder_tree(key, spec: D.DecoderSpec) -> Dict:
+    return D.init_decoder(key, spec)
+
+
+def build_model(cf) -> CaptionModel:
+    if cf.atten_model_name not in VARIANTS:
+        raise ValueError(f"unknown atten_model_name {cf.atten_model_name!r}")
+    num_slots = (cf.train_crop_size // 32) ** 2  # 49 at 224 (7x7 map)
+    spec = D.DecoderSpec(
+        variant=cf.atten_model_name,
+        embed_size=cf.word_embed_size,
+        hidden_size=cf.lstm_hidden_size,
+        vocab_size=cf.vocab_length,
+        num_slots=num_slots,
+        atten_dim=num_slots,  # reference ties the attention dim to 49 slots
+        rnn_bidirectional=cf.rnn_attention_bidirectional,
+        rnn_num_layers=cf.rnn_attention_numlayers,
+    )
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cf.compute_dtype]
+    return CaptionModel(
+        variant=cf.atten_model_name,
+        arch=cf.encoder_backbone,
+        spec=spec,
+        crop_size=cf.train_crop_size,
+        compute_dtype=dtype,
+    )
+
+
+def get_model(cf, key: Optional[jax.Array] = None):
+    """(model, params, state, start_epoch) — with optional checkpoint restore
+    (model_factory.py:14-21: start epoch parsed from '...-N.pkl')."""
+    model = build_model(cf)
+    key = key if key is not None else jax.random.PRNGKey(cf.train_random_seed)
+    params, state = model.init(key)
+    start_epoch = 1
+    if cf.train_pretrained and cf.train_pretrained_model:
+        from adaptive_tpu.training import checkpoint as ckpt
+
+        params, state = ckpt.restore_model(cf.train_pretrained_model, params, state)
+        start_epoch = ckpt.epoch_from_filename(cf.train_pretrained_model) + 1
+    if cf.encoder_pretrained_npz:
+        from adaptive_tpu.models import torch_import
+
+        params, state = torch_import.load_pretrained_resnet(
+            cf.encoder_pretrained_npz, params, state
+        )
+    return model, params, state, start_epoch

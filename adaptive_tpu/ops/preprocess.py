@@ -1,0 +1,86 @@
+"""On-device image preprocessing as XLA ops.
+
+Reference parity: the torchvision host-side transform pipelines —
+train: RandomCrop(224) + RandomHorizontalFlip + ToTensor + Normalize
+(code_src/train.py:29-34); eval: Resize(224) + ToTensor + Normalize
+(code_src/tools/utils.py:135-139) — using the ImageNet mean/std.
+
+TPU-first design: images arrive as uint8 NHWC (4x smaller host->HBM transfer
+than float32), and crop/flip/normalize run inside the jitted step where XLA
+fuses them into the first convolution's input pipeline. Random crop/flip use
+jax PRNG keys, so augmentation is reproducible under the seeded train step
+(the reference seeds torch globally, train.py:18-20).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)  # train.py:33
+IMAGENET_STD = (0.229, 0.224, 0.225)  # train.py:34
+
+
+def normalize(images: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """uint8/float NHWC -> normalized float NHWC in [[-2.1, 2.6]]."""
+    x = images.astype(jnp.float32) / 255.0 if images.dtype == jnp.uint8 else images.astype(jnp.float32)
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return ((x - mean) / std).astype(dtype)
+
+
+def random_crop_flip(
+    key: jax.Array, images: jnp.ndarray, crop: int
+) -> jnp.ndarray:
+    """Per-image random crop to (crop, crop) + horizontal flip, NHWC uint8/float.
+
+    Matches RandomCrop(224)-of-256 + RandomHorizontalFlip semantics
+    (train.py:30-31) with a vectorized dynamic-slice (static output shape).
+    """
+    B, H, W, C = images.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    tops = jax.random.randint(k1, (B,), 0, H - crop + 1)
+    lefts = jax.random.randint(k2, (B,), 0, W - crop + 1)
+    flips = jax.random.bernoulli(k3, 0.5, (B,))
+
+    def one(img, top, left, flip):
+        patch = jax.lax.dynamic_slice(img, (top, left, 0), (crop, crop, C))
+        return jax.lax.cond(flip, lambda p: p[:, ::-1, :], lambda p: p, patch)
+
+    return jax.vmap(one)(images, tops, lefts, flips)
+
+
+def center_crop(images: jnp.ndarray, crop: int) -> jnp.ndarray:
+    B, H, W, C = images.shape
+    top = (H - crop) // 2
+    left = (W - crop) // 2
+    return images[:, top : top + crop, left : left + crop, :]
+
+
+def resize_bilinear(images: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Bilinear resize to (size, size); eval-path Resize(224) (utils.py:136)."""
+    B, H, W, C = images.shape
+    return jax.image.resize(
+        images.astype(jnp.float32), (B, size, size, C), method="bilinear"
+    )
+
+
+def train_preprocess(key: jax.Array, images_u8: jnp.ndarray, crop: int, dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 NHWC (resized 256) -> augmented normalized float NHWC (crop)."""
+    x = random_crop_flip(key, images_u8, crop)
+    return normalize(x, dtype)
+
+
+def eval_preprocess(images_u8: jnp.ndarray, size: int, dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 NHWC (any square size) -> resized normalized float NHWC (size).
+
+    PIL's Resize uses bilinear; jax.image bilinear matches within float
+    tolerance (half-pixel centers differ from PIL antialias slightly; eval
+    metrics are insensitive at 256->224 scale).
+    """
+    x = images_u8.astype(jnp.float32) / 255.0
+    if images_u8.shape[1] != size:
+        x = resize_bilinear(x, size)
+    return normalize(x, dtype)

@@ -1,0 +1,48 @@
+import os
+
+import pytest
+
+from adaptive_tpu.config import Config, Experiment, load_config
+
+
+def test_defaults_match_reference():
+    cf = Config()
+    # cfg_wzn.py values
+    assert cf.train_batch_size == 24
+    assert cf.eval_batch_size == 400
+    assert cf.opt_rnn_adam_learning_rate == 1e-3
+    assert cf.opt_cnn_adam_learning_rate == 1e-5
+    assert cf.opt_rnn_adam_alpha == 0.8
+    assert cf.vocab_threshold == 5
+    assert cf.train_lstm_maxnormal == 5.0
+    assert cf.opt_fine_tune_cnn_start_layer == 5
+    assert cf.num_train_overfit == 20
+    assert cf.decode_max_len == 30
+
+
+def test_model_dim_dispatch():
+    cf = Config(atten_model_name="adaptive_attention")
+    assert cf.word_embed_size == 256 and cf.lstm_hidden_size == 512
+
+
+def test_load_python_file(tmp_path):
+    p = tmp_path / "cfg.py"
+    p.write_text("train_batch_size = 7\natten_model_name = 'baseline_attention'\nnot_a_knob = 3\n")
+    cf = load_config(str(p))
+    assert cf.train_batch_size == 7
+    assert cf.atten_model_name == "baseline_attention"
+
+
+def test_unknown_override_rejected():
+    with pytest.raises(KeyError):
+        load_config(None, nonsense_knob=1)
+
+
+def test_experiment_dir_and_log_tee(tmp_path, capsys):
+    cf = Config(experiment_path=str(tmp_path), trainOrnot=True)
+    exp = Experiment(cf, tee_stdout=False)
+    cf2 = exp.setup()
+    assert os.path.isdir(cf2.exp_dir)
+    assert "Train_adaptive_attention" in cf2.exp_dir
+    assert os.path.exists(os.path.join(cf2.exp_dir, "config.json"))
+    exp.teardown()
