@@ -217,4 +217,23 @@ def load_config(source: Any = None, **overrides) -> Config:
     for k in ("mesh_axes", "mesh_shape"):
         if k in values and isinstance(values[k], list):
             values[k] = tuple(values[k])
-    return Config(**values)
+    cf = Config(**values)
+    _validate(cf)
+    return cf
+
+
+def _validate(cf: Config):
+    """Fail fast on invalid enum knobs (before any data loading starts)."""
+    variants = ("baseline_attention", "adaptive_attention", "rnn_attention")
+    if cf.atten_model_name not in variants:
+        raise ValueError(
+            f"atten_model_name={cf.atten_model_name!r} — must be one of {variants}"
+        )
+    for knob in ("opt_rnn_optimization", "opt_cnn_optimization"):
+        v = getattr(cf, knob)
+        if v not in ("adam", "sgd", "lbfgs"):
+            raise ValueError(f"{knob}={v!r} — must be adam|sgd|lbfgs")
+    if cf.compute_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"compute_dtype={cf.compute_dtype!r}")
+    if cf.use_pallas not in ("auto", "always", "never"):
+        raise ValueError(f"use_pallas={cf.use_pallas!r}")

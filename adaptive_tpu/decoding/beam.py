@@ -1,0 +1,106 @@
+"""Batched beam search with EOS masking — a capability the reference only had
+as a TODO (reference for_wzn:3: "beam search").
+
+Vectorized over (batch, beam): each step scores all beams with the shared
+decode cell (one MXU-batched call over B*W rows inside a lax.scan), expands
+top-k over the beam x vocab grid, and freezes finished beams by forcing the
+<end> continuation at log-prob 0 so their scores are final. Optional length
+normalization (score / len^alpha, Wu et al. 2016).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from adaptive_tpu.ops.preprocess import eval_preprocess
+
+NEG_INF = -1e9
+
+
+class BeamOutput(NamedTuple):
+    ids: jnp.ndarray     # [B, L] best beam's tokens
+    score: jnp.ndarray   # [B] best beam's (normalized) log-prob
+    all_ids: jnp.ndarray  # [B, W, L] every beam
+    all_scores: jnp.ndarray  # [B, W]
+
+
+def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.0):
+    W = beam_size or max(cf.beam_size, 2)
+    max_len = cf.decode_max_len
+    start = cf.decode_start_token
+    eos = cf.decode_eos_token
+    size = cf.train_crop_size
+    sentinel_prev = cf.sampler_sentinel_uses_prev_hidden
+
+    @jax.jit
+    def decode(params, state, images_u8) -> BeamOutput:
+        images = eval_preprocess(images_u8, size, model.compute_dtype)
+        V, v_g, h0, c0, _ = model.encode(params, state, images, train=False)
+        B = V.shape[0]
+        K, H = V.shape[1], h0.shape[-1]
+
+        def tile(x):  # [B, ...] -> [B*W, ...]
+            return jnp.repeat(x, W, axis=0)
+
+        V_t, vg_t = tile(V), tile(v_g)
+        pv_t = tile(model.precompute_slots(params, V))
+        dstate = model.init_decode_state(tile(h0), tile(c0))
+
+        tokens = jnp.full((B, W), start, jnp.int32)
+        # only beam 0 is alive at step 0 so identical expansions don't duplicate
+        scores = jnp.broadcast_to(
+            jnp.where(jnp.arange(W) == 0, 0.0, NEG_INF)[None, :], (B, W)
+        ).astype(jnp.float32)
+        finished = jnp.zeros((B, W), bool)
+        ids_buf = jnp.zeros((B, W, max_len), jnp.int32)
+
+        def step(carry, _):
+            tokens, scores, finished, dstate, ids_buf, t = carry
+            logits, _, _, dstate_new = model.decode_step(
+                params, tokens.reshape(B * W), vg_t, dstate, V_t, sentinel_prev, pv=pv_t
+            )
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(B, W, -1)
+            Vc = logp.shape[-1]
+
+            # finished beams: only the <end> continuation, at no cost
+            eos_only = jnp.full((B, W, Vc), NEG_INF).at[:, :, eos].set(0.0)
+            logp = jnp.where(finished[..., None], eos_only, logp)
+
+            cand = scores[..., None] + logp  # [B, W, Vc]
+            flat = cand.reshape(B, W * Vc)
+            top_scores, top_idx = jax.lax.top_k(flat, W)  # [B, W]
+            src_beam = top_idx // Vc
+            new_tok = (top_idx % Vc).astype(jnp.int32)
+
+            # reorder per-beam state/history by source beam
+            def gather_beams(x):  # [B*W, ...] -> gathered [B*W, ...]
+                xw = x.reshape(B, W, *x.shape[1:])
+                return jnp.take_along_axis(
+                    xw, src_beam.reshape(B, W, *([1] * (x.ndim - 1))), axis=1
+                ).reshape(B * W, *x.shape[1:])
+
+            dstate_new = jax.tree.map(gather_beams, dstate_new)
+            ids_buf = jnp.take_along_axis(ids_buf, src_beam[..., None], axis=1)
+            ids_buf = ids_buf.at[:, :, t].set(new_tok)
+            finished = jnp.take_along_axis(finished, src_beam, axis=1) | (new_tok == eos)
+            return (new_tok, top_scores, finished, dstate_new, ids_buf, t + 1), None
+
+        carry = (tokens, scores, finished, dstate, ids_buf, jnp.int32(0))
+        (tokens, scores, finished, dstate, ids_buf, _), _ = jax.lax.scan(
+            step, carry, None, length=max_len
+        )
+
+        if length_alpha > 0:
+            lengths = jnp.sum(jnp.cumsum(ids_buf == eos, axis=-1) == 0, axis=-1) + 1
+            norm_scores = scores / (lengths.astype(jnp.float32) ** length_alpha)
+        else:
+            norm_scores = scores
+        best = jnp.argmax(norm_scores, axis=1)
+        best_ids = jnp.take_along_axis(ids_buf, best[:, None, None], axis=1)[:, 0]
+        best_score = jnp.take_along_axis(norm_scores, best[:, None], axis=1)[:, 0]
+        return BeamOutput(best_ids, best_score, ids_buf, norm_scores)
+
+    return decode

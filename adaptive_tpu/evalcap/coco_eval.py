@@ -1,0 +1,137 @@
+"""Evaluation driver: greedy-decode a split, score with the COCO caption stack.
+
+Reference parity: coco_eval (code_src/tools/utils.py:108-250) — decode every
+image of the val/test/train_eval split, cut captions at <end>, write a
+results JSON named per mode, run COCOEvalCap, print metrics, return CIDEr.
+Modes: per-epoch val, per-epoch train_eval, standalone valid, standalone test
+(utils.py:119-146, 205-222).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from adaptive_tpu.data.coco_api import COCO
+from adaptive_tpu.data.loader import EvalBatches, EvalImageDataset
+from adaptive_tpu.data.vocab import Vocabulary
+from adaptive_tpu.decoding import make_beam_decoder, make_greedy_decoder
+from adaptive_tpu.evalcap.eval import COCOEvalCap
+
+
+def decode_split(
+    cf, model, params, state, ann_path: str, vocab: Vocabulary, decoder=None
+) -> List[Dict]:
+    """Generate {'image_id', 'caption'} results for every image in a split."""
+    if decoder is None:
+        decoder = (
+            make_beam_decoder(model, cf) if cf.beam_size > 1 else make_greedy_decoder(model, cf)
+        )
+    dataset = EvalImageDataset(cf.resized_image_dir, ann_path)
+    batches = EvalBatches(dataset, cf.eval_batch_size, cf.dataloader_num_workers)
+
+    results: List[Dict] = []
+    seen = set()
+    for i, batch in enumerate(batches):
+        out = decoder(params, state, batch["images"])
+        ids = np.asarray(out.ids if hasattr(out, "ids") else out[0])
+        for row in range(ids.shape[0]):
+            if not batch["valid"][row]:
+                continue
+            img_id = int(batch["img_ids"][row])
+            if img_id in seen:  # an image can appear once per split
+                continue
+            seen.add(img_id)
+            sentence = vocab.decode_ids(ids[row])  # cut at <end> (utils.py:185-190)
+            results.append({"image_id": img_id, "caption": sentence})
+        if (i + 1) % 10 == 0:
+            print("[%d/%d]" % (i + 1, len(batches)))
+    return results
+
+
+def coco_eval(
+    cf,
+    model=None,
+    params=None,
+    state=None,
+    epoch: int = 0,
+    train_mode: bool = False,
+    test_mode: bool = False,
+    valid_mode: bool = False,
+    vocab: Optional[Vocabulary] = None,
+) -> float:
+    """Returns the split's CIDEr (utils.py:108-250)."""
+    assert not (test_mode and valid_mode and train_mode)
+
+    if vocab is None:
+        vocab = Vocabulary.load(cf.vocab_path)
+    cf = cf.replace(vocab_length=len(vocab))
+
+    if (test_mode or valid_mode) and model is None:
+        model, params, state = get_testOrValid_model(cf, test_mode, valid_mode)
+
+    ann_path = cf.val_anno_path
+    if test_mode:
+        ann_path = cf.test_anno_path
+    elif train_mode:
+        ann_path = cf.train_eval_anno_path
+
+    banner = "evaluation on MS-COCO dataset"
+    if test_mode:
+        banner = "test on MS-COCO dataset"
+    elif train_mode:
+        banner = "evaluating a subset of training data on MS-COCO dataset"
+    print(f"---------------------Start {banner}-----------------------")
+
+    results = decode_split(cf, model, params, state, ann_path, vocab)
+    print("#-----------------------Caption Generated-----------------------#")
+
+    # results file naming per mode (utils.py:205-222)
+    exp_dir = cf.exp_dir or "."
+    if test_mode:
+        name = cf.test_pretrained_model.replace("/", "_").split(".")[0] + ".json"
+        resFile = os.path.join(exp_dir, name)
+    elif train_mode:
+        d = os.path.join(exp_dir, "train_eval_results")
+        os.makedirs(d, exist_ok=True)
+        resFile = os.path.join(d, f"train_eval-{epoch}.json")
+    else:
+        d = os.path.join(exp_dir, "val_results")
+        os.makedirs(d, exist_ok=True)
+        name = f"validation-{epoch}.json"
+        if valid_mode:
+            name = cf.valid_pretrained_model.replace("/", "_").split(".")[0] + ".json"
+        resFile = os.path.join(d, name)
+    with open(resFile, "w") as f:
+        json.dump(results, f)
+
+    coco = COCO(ann_path)
+    cocoRes = coco.loadRes(resFile)
+    cocoEval = COCOEvalCap(coco, cocoRes)
+    cocoEval.params["image_id"] = cocoRes.getImgIds()
+    cocoEval.evaluate()
+
+    cider = 0.0
+    for metric, score in cocoEval.eval.items():
+        print("%s: %.4f" % (metric, score))
+        if metric == "CIDEr":
+            cider = score
+    return cider
+
+
+def get_testOrValid_model(cf, test_mode: bool, valid_mode: bool):
+    """Build the model and restore the configured checkpoint (utils.py:253-271)."""
+    from adaptive_tpu.models.factory import build_model
+    from adaptive_tpu.training import checkpoint as ckpt
+    import jax
+
+    model = build_model(cf)
+    params, state = model.init(jax.random.PRNGKey(cf.train_random_seed))
+    path = cf.test_pretrained_model if test_mode else cf.valid_pretrained_model
+    if path:
+        params, state = ckpt.restore_model(path, params, state)
+    return model, params, state

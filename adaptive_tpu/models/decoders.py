@@ -107,14 +107,16 @@ def _init_adaptive_block(key, spec: DecoderSpec) -> Dict:
 def adaptive_block_apply(
     block: Dict, spec: DecoderSpec, x: jnp.ndarray, hiddens: jnp.ndarray,
     cells: jnp.ndarray, V: jnp.ndarray, h_prev: Optional[jnp.ndarray] = None,
+    pv: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """(scores [B,T,vocab], alpha [B,T,K], beta or None).
 
     h_prev: [B,T,H] previous-step hiddens for the sentinel; if None, uses the
     reference's zero-prefixed shift of `hiddens` (adaptive_attention.py:116-122).
+    pv: optional precomputed V @ Wv (loop-invariant across decode steps).
     """
     if spec.variant == "baseline_attention":
-        c, alpha = att.spatial_attention(block["atten"], V, hiddens)
+        c, alpha = att.spatial_attention(block["atten"], V, hiddens, pv)
         scores = inits.linear(block["mlp"], c + hiddens)
         return scores, alpha, None
 
@@ -123,12 +125,12 @@ def adaptive_block_apply(
             zero = jnp.zeros_like(hiddens[:, :1, :])
             h_prev = jnp.concatenate([zero, hiddens[:, :-1, :]], axis=1) if hiddens.shape[1] > 1 else zero
         s = att.sentinel_gate(block["sentinel"], x, h_prev, cells)
-        c_hat, alpha, beta = att.adaptive_attention(block["atten"], V, hiddens, s)
+        c_hat, alpha, beta = att.adaptive_attention(block["atten"], V, hiddens, s, pv)
         scores = inits.linear(block["mlp"], c_hat + hiddens)
         return scores, alpha, beta
 
     if spec.variant == "rnn_attention":
-        f, alpha = att.recurrent_attention(block["atten"], V, hiddens, spec.rnn_bidirectional)
+        f, alpha = att.recurrent_attention(block["atten"], V, hiddens, spec.rnn_bidirectional, pv)
         scores = inits.linear(block["mlp"], f + hiddens)
         return scores, alpha, None
 
@@ -162,6 +164,7 @@ class DecodeState(NamedTuple):
 def decode_step(
     params: Dict, spec: DecoderSpec, token: jnp.ndarray, v_g: jnp.ndarray,
     state: DecodeState, V: jnp.ndarray, sentinel_uses_prev_hidden: bool = False,
+    pv: Optional[jnp.ndarray] = None, use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, DecodeState]:
     """One decode step: token [B] -> (logits [B,vocab], alpha [B,K], beta [B,1], state').
 
@@ -169,15 +172,34 @@ def decode_step(
     like the reference's sampler, which calls the decoder with seq-len 1 so
     the AdaptiveBlock's shift always yields the zero h0
     (adaptive_attention.py:116-122 under sampler :197-207).
+
+    use_pallas routes the adaptive variant's sentinel+attention block through
+    the fused TPU kernel (ops/pallas/fused_step.py); the vocab head stays in
+    XLA where it joins the MXU-batched matmul stream.
     """
+    from adaptive_tpu.ops import inits as _inits
+
     emb = params["embed"][token]  # [B,E]
     x = jnp.concatenate([emb, v_g], axis=-1)  # [B,2E]
     h_new, (h, c) = lstm_cell(params["lstm"], x, (state.h, state.c))
 
     h_prev = state.h_prev if sentinel_uses_prev_hidden else jnp.zeros_like(h_new)
+
+    if use_pallas and spec.variant == "adaptive_attention":
+        from adaptive_tpu.ops.pallas import adaptive_attention_step_fused
+
+        block = params["adaptive"]
+        if pv is None:
+            pv = V @ block["atten"]["affine_v"]["kernel"]
+        c_hat, alpha1, beta1 = adaptive_attention_step_fused(
+            block["atten"], block["sentinel"], x, h_new, c, h_prev, V, pv
+        )
+        logits = _inits.linear(block["mlp"], c_hat + h_new)
+        return logits, alpha1, beta1, DecodeState(h, c, h_new)
+
     scores, alpha, beta = adaptive_block_apply(
         params["adaptive"], spec, x[:, None, :], h_new[:, None, :], c[:, None, :],
-        V, h_prev=h_prev[:, None, :],
+        V, h_prev=h_prev[:, None, :], pv=pv,
     )
     if beta is None:
         beta = jnp.zeros((token.shape[0], 1, 1), scores.dtype)

@@ -30,6 +30,7 @@ class CaptionModel(NamedTuple):
     spec: D.DecoderSpec
     crop_size: int
     compute_dtype: Any
+    use_pallas: bool = False
 
     # ------------------------------------------------------------------ init
     def init(self, key) -> Tuple[Dict, Dict]:
@@ -62,10 +63,18 @@ class CaptionModel(NamedTuple):
         return scores, (alpha, beta), new_state
 
     # ----------------------------------------------------------- decode step
-    def decode_step(self, params, token, v_g, dstate, V, sentinel_uses_prev_hidden=False):
+    def decode_step(self, params, token, v_g, dstate, V, sentinel_uses_prev_hidden=False, pv=None):
         return D.decode_step(
-            params["decoder"], self.spec, token, v_g, dstate, V, sentinel_uses_prev_hidden
+            params["decoder"], self.spec, token, v_g, dstate, V,
+            sentinel_uses_prev_hidden, pv=pv, use_pallas=self.use_pallas,
         )
+
+    def precompute_slots(self, params, V):
+        """V @ Wv once per image — loop-invariant across decode steps (the
+        reference recomputes it every token, baseline_attention.py:86)."""
+        from adaptive_tpu.ops import attention as att
+
+        return att.precompute_slots(params["decoder"]["adaptive"]["atten"], V)
 
     def init_decode_state(self, h0, c0) -> D.DecodeState:
         return D.DecodeState(h=h0, c=c0, h_prev=jnp.zeros_like(h0))
@@ -90,12 +99,16 @@ def build_model(cf) -> CaptionModel:
         rnn_num_layers=cf.rnn_attention_numlayers,
     )
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cf.compute_dtype]
+    use_pallas = cf.use_pallas == "always" or (
+        cf.use_pallas == "auto" and jax.default_backend() == "tpu"
+    )
     return CaptionModel(
         variant=cf.atten_model_name,
         arch=cf.encoder_backbone,
         spec=spec,
         crop_size=cf.train_crop_size,
         compute_dtype=dtype,
+        use_pallas=use_pallas,
     )
 
 

@@ -22,23 +22,33 @@ import jax
 import jax.numpy as jnp
 
 
-def attention_logits(params, V: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+def precompute_slots(params, V: jnp.ndarray) -> jnp.ndarray:
+    """pv = V @ Wv [B,K,D] — loop-invariant across decode steps. The reference
+    recomputes this every timestep (baseline_attention.py:86); hoisting it out
+    of the decode scan saves B*K*H*D MACs per step."""
+    return V @ params["affine_v"]["kernel"]
+
+
+def attention_logits(params, V: jnp.ndarray, h: jnp.ndarray, pv: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """z [B,T,K]: additive attention scores (baseline_attention.py:86-90).
 
     z[b,t,i] = sum_j tanh( (V@Wv)[b,i,j] + (h@Wg)[b,t,j] ) * wh[j]
     """
-    pv = V @ params["affine_v"]["kernel"]  # [B,K,D]
+    if pv is None:
+        pv = precompute_slots(params, V)  # [B,K,D]
     ph = h @ params["affine_g"]["kernel"]  # [B,T,D]
     content = jnp.tanh(pv[:, None, :, :] + ph[:, :, None, :])  # [B,T,K,D]
     return jnp.squeeze(content @ params["affine_h"]["kernel"], -1)  # [B,T,K]
 
 
-def spatial_attention(params, V: jnp.ndarray, h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def spatial_attention(
+    params, V: jnp.ndarray, h: jnp.ndarray, pv: Optional[jnp.ndarray] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Baseline Atten.forward (baseline_attention.py:78-96).
 
     Returns (c [B,T,H], alpha [B,T,K]).
     """
-    z = attention_logits(params, V, h)
+    z = attention_logits(params, V, h, pv)
     alpha = jax.nn.softmax(z, axis=-1)
     c = alpha @ V  # [B,T,K] @ [B,K,H] -> [B,T,H]
     return c, alpha
@@ -52,7 +62,7 @@ def sentinel_gate(params, x: jnp.ndarray, h_prev: jnp.ndarray, c: jnp.ndarray) -
 
 
 def adaptive_attention(
-    params, V: jnp.ndarray, h: jnp.ndarray, s: jnp.ndarray
+    params, V: jnp.ndarray, h: jnp.ndarray, s: jnp.ndarray, pv: Optional[jnp.ndarray] = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Adaptive Atten.forward (adaptive_attention.py:26-58).
 
@@ -61,7 +71,7 @@ def adaptive_attention(
     reference's returned attention maps, and beta is the sentinel mass of the
     (K+1)-way softmax over [z; z_s].
     """
-    z = attention_logits(params, V, h)  # [B,T,K]
+    z = attention_logits(params, V, h, pv)  # [B,T,K]
     alpha = jax.nn.softmax(z, axis=-1)
     c = alpha @ V  # [B,T,H]
 
@@ -79,7 +89,8 @@ def adaptive_attention(
 
 
 def recurrent_attention(
-    params, V: jnp.ndarray, h: jnp.ndarray, bidirectional: bool = True
+    params, V: jnp.ndarray, h: jnp.ndarray, bidirectional: bool = True,
+    pv: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """rnn_attention Atten.forward (rnn_attention.py:31-67).
 
@@ -91,7 +102,7 @@ def recurrent_attention(
 
     B, K, H = V.shape
     T = h.shape[1]
-    z = attention_logits(params, V, h)  # [B,T,K]
+    z = attention_logits(params, V, h, pv)  # [B,T,K]
     alpha = jax.nn.sigmoid(z)  # rnn_attention.py:47
     Vw = alpha[..., None] * V[:, None, :, :]  # [B,T,K,H]
     flat = Vw.reshape(B * T, K, H)

@@ -100,7 +100,8 @@ def lstm_init(key, input_size: int, hidden_size: int, dtype=jnp.float32):
     w_hh = orthogonal(k2, (4 * hidden_size, hidden_size), dtype).T
     b = jnp.zeros((4 * hidden_size,), dtype)
     b = b.at[hidden_size : 2 * hidden_size].set(0.5)
-    return {"w_ih": w_ih, "w_hh": w_hh, "b_ih": b, "b_hh": b}
+    # b_ih/b_hh must be distinct buffers: donated pytrees may not alias
+    return {"w_ih": w_ih, "w_hh": w_hh, "b_ih": b, "b_hh": jnp.array(b)}
 
 
 def zeros(shape, dtype=jnp.float32):

@@ -1,0 +1,3 @@
+from adaptive_tpu.ops.pallas.fused_step import adaptive_attention_step_fused
+
+__all__ = ["adaptive_attention_step_fused"]

@@ -1,0 +1,159 @@
+"""Pallas TPU kernel: fused sentinel + adaptive-attention decode step.
+
+Fuses the per-token math of SURVEY.md §3.5 (minus LSTM cell and vocab head):
+
+    s    = sigmoid(x Wx + h_prev Whs) * tanh(cell)        sentinel
+    z    = wh . tanh(pv + h Wg)            (K slots)       spatial logits
+    z_s  = wh . tanh(s Ws + h Wg)          (1 slot)        sentinel logit
+    alpha = softmax_K(z);  c = alpha V
+    beta = softmax_{K+1}([z; z_s])[-1]
+    c_hat = beta s + (1-beta) c
+
+One VMEM-resident kernel per batch block: no HBM round-trips for the
+[B,K,D] `content` intermediate, both softmaxes computed in registers. The
+K=49 slot axis is padded to 64 lanes with -inf masking; the D=49 projection
+axis is padded to 64 with zero-padded `wh` rows so padded columns contribute
+nothing. Equals the jnp path (ops/attention.py) to fp32 tolerance — verified
+in tests/test_pallas.py via interpret mode.
+
+Used on the decode hot path (inference); training uses the autodiff'd jnp
+path. Reference math: adaptive_attention.py:26-85.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+NEG = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(K: int, x_ref, h_ref, cell_ref, hp_ref, pv_ref, V_ref,
+            wx_ref, whs_ref, wg_ref, ws_ref, wh_ref,
+            chat_ref, alpha_ref, beta_ref):
+    f32 = jnp.float32
+    x = x_ref[:].astype(f32)
+    h = h_ref[:].astype(f32)
+    cell = cell_ref[:].astype(f32)
+    hp = hp_ref[:].astype(f32)
+
+    # sentinel gate (adaptive_attention.py:79-83)
+    gate = jax.nn.sigmoid(
+        jnp.dot(x, wx_ref[:].astype(f32), preferred_element_type=f32)
+        + jnp.dot(hp, whs_ref[:].astype(f32), preferred_element_type=f32)
+    )
+    s = gate * jnp.tanh(cell)  # [Bb, H]
+
+    ph = jnp.dot(h, wg_ref[:].astype(f32), preferred_element_type=f32)  # [Bb, DP]
+    wh = wh_ref[:].astype(f32)  # [1, DP], zero beyond D
+
+    # spatial logits over padded slots
+    content = jnp.tanh(pv_ref[:].astype(f32) + ph[:, None, :])  # [Bb, KP, DP]
+    z = jnp.sum(content * wh[None, :, :], axis=-1)  # [Bb, KP]
+    KP = z.shape[1]
+    kmask = jax.lax.broadcasted_iota(jnp.int32, (1, KP), 1) < K
+    z = jnp.where(kmask, z, NEG)
+
+    # sentinel logit
+    content_s = jnp.tanh(
+        jnp.dot(s, ws_ref[:].astype(f32), preferred_element_type=f32) + ph
+    )  # [Bb, DP]
+    z_s = jnp.sum(content_s * wh[0][None, :], axis=-1, keepdims=True)  # [Bb, 1]
+
+    # K-way softmax (reference returns this alpha, adaptive_attention.py:39)
+    m = jnp.max(z, axis=-1, keepdims=True)
+    e = jnp.where(kmask, jnp.exp(z - m), 0.0)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    alpha = e / denom  # [Bb, KP]
+
+    # (K+1)-way softmax, sentinel share (adaptive_attention.py:50-52)
+    m2 = jnp.maximum(m, z_s)
+    denom2 = denom * jnp.exp(m - m2) + jnp.exp(z_s - m2)
+    beta = jnp.exp(z_s - m2) / denom2  # [Bb, 1]
+
+    # context + mix (adaptive_attention.py:42,54-56)
+    c = jnp.sum(alpha[:, :, None] * V_ref[:].astype(f32), axis=1)  # [Bb, H]
+    chat_ref[:] = (beta * s + (1.0 - beta) * c).astype(chat_ref.dtype)
+    alpha_ref[:] = alpha.astype(alpha_ref.dtype)
+    beta_ref[:] = beta.astype(beta_ref.dtype)
+
+
+def adaptive_attention_step_fused(
+    atten: dict, sentinel: dict, x: jnp.ndarray, h: jnp.ndarray,
+    cell: jnp.ndarray, h_prev: jnp.ndarray, V: jnp.ndarray,
+    pv: jnp.ndarray, interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single-token fused step. x [B,2E], h/cell/h_prev [B,H], V [B,K,H],
+    pv [B,K,D]. Returns (c_hat [B,H], alpha [B,K], beta [B,1])."""
+    B, K, H = V.shape
+    D = pv.shape[-1]
+    KP, DP = _round_up(K, 64), _round_up(D, 64)
+    BP = _round_up(B, 8)
+    Bb = min(64, BP)
+    BP = _round_up(BP, Bb)
+
+    f32 = jnp.float32
+    padB = lambda a: jnp.pad(a, ((0, BP - B),) + ((0, 0),) * (a.ndim - 1))
+    x_, h_, cell_, hp_ = (padB(t) for t in (x, h, cell, h_prev))
+    V_ = jnp.pad(V, ((0, BP - B), (0, KP - K), (0, 0)))
+    pv_ = jnp.pad(pv, ((0, BP - B), (0, KP - K), (0, DP - D)))
+
+    wx = sentinel["affine_x"]["kernel"]
+    whs = sentinel["affine_h"]["kernel"]
+    wg = jnp.pad(atten["affine_g"]["kernel"], ((0, 0), (0, DP - D)))
+    ws = jnp.pad(atten["affine_s"]["kernel"], ((0, 0), (0, DP - D)))
+    wh = jnp.pad(atten["affine_h"]["kernel"][:, 0][None, :], ((0, 0), (0, DP - D)))
+
+    E2 = x.shape[-1]
+    grid = (BP // Bb,)
+    row = lambda i: (i, 0)
+    row3 = lambda i: (i, 0, 0)
+    rep = lambda i: (0, 0)
+    out_dtype = h.dtype
+
+    chat, alpha, beta = pl.pallas_call(
+        functools.partial(_kernel, K),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Bb, E2), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, H), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, H), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, H), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, KP, DP), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, KP, H), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E2, H), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, DP), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, DP), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, DP), rep, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Bb, H), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, KP), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, 1), row, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BP, H), out_dtype),
+            jax.ShapeDtypeStruct((BP, KP), f32),
+            jax.ShapeDtypeStruct((BP, 1), f32),
+        ],
+        interpret=interpret,
+    )(x_, h_, cell_, hp_, pv_, V_, wx, whs, wg, ws, wh)
+
+    return chat[:B], alpha[:B, :K], beta[:B]

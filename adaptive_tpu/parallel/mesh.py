@@ -1,0 +1,80 @@
+"""Device mesh + sharding rules: SPMD data/tensor parallelism.
+
+Reference parity -> TPU-native translation: the reference's only parallelism
+is single-host torch.nn.DataParallel replicate/scatter/gather applied ad-hoc
+at three call sites (baseline_attention.py:215-218,243-246,184-187) over 2
+GPUs (main.py:12). Here parallelism is declarative SPMD: one
+jax.sharding.Mesh with ('data', 'model') axes; inputs are batch-sharded over
+'data' (DP), and the large vocab-dimension parameters (embedding table +
+vocab head) are sharded over 'model' (TP) so the ~10k-wide projection's
+matmul and its gradients ride ICI collectives inserted by XLA. Everything
+else is replicated. No hand-written communication; `jax.jit` + NamedSharding
+generate psum/all-gather as needed.
+
+Multi-host: `jax.distributed.initialize()` + the same mesh over
+jax.devices() extends this to DCN data parallelism without code changes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(cf=None, devices=None, shape=None, axes=None) -> Mesh:
+    """Build a Mesh from config (mesh_shape with -1 wildcard) or explicit args."""
+    devices = list(devices if devices is not None else jax.devices())
+    axes = tuple(axes if axes is not None else (cf.mesh_axes if cf else ("data", "model")))
+    shape = list(shape if shape is not None else (cf.mesh_shape if cf else (-1, 1)))
+    n = len(devices)
+    fixed = int(np.prod([s for s in shape if s != -1]))
+    shape = tuple(n // fixed if s == -1 else s for s in shape)
+    assert int(np.prod(shape)) == n, f"mesh shape {shape} != {n} devices"
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axes)
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch dim sharded over 'data' (replaces DataParallel scatter)."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Device-put a host batch with the leading dim sharded over 'data'."""
+    ds = data_sharding(mesh)
+    return {k: jax.device_put(v, ds) for k, v in batch.items()}
+
+
+def param_sharding_rules(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree for the params: vocab-dim tensors sharded over
+    'model' (embedding rows [vocab,E]; mlp head kernel cols [H,vocab] + bias),
+    everything else replicated."""
+    model_axis_size = mesh.shape.get("model", 1)
+
+    def rule(path, leaf):
+        names = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+        if model_axis_size > 1:
+            # only shard dims divisible by the axis (vocab 10123 is not; pad
+            # the vocab to a multiple — e.g. 10240 — to enable TP + MXU tiling)
+            if "embed" in names and leaf.shape[0] % model_axis_size == 0:
+                return NamedSharding(mesh, P("model", None))  # [vocab, E] rows
+            if "mlp" in names and names[-1] == "kernel" and leaf.shape[1] % model_axis_size == 0:
+                return NamedSharding(mesh, P(None, "model"))  # [H, vocab] cols
+            if "mlp" in names and names[-1] == "bias" and leaf.shape[0] % model_axis_size == 0:
+                return NamedSharding(mesh, P("model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Place params per the sharding rules (TP on vocab-dim, rest replicated)."""
+    shardings = param_sharding_rules(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)

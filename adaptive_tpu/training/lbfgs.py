@@ -1,0 +1,83 @@
+"""L-BFGS with torch-closure semantics for a masked parameter group.
+
+Reference parity: torch.optim.LBFGS(lr, max_iter, history_size) driven by a
+closure that re-evaluates loss+grads (model_factory.py:54-56,74-75;
+train.py:197-219) — each optimizer.step(closure) performs up to max_iter
+inner iterations on the current mini-batch. SURVEY.md hard-part #6 notes
+optax has no turnkey equivalent; this module builds one from optax.lbfgs:
+the group's parameters are partitioned out of the full tree, a pure
+value_fn closes over the frozen remainder and the batch, and a lax.scan of
+max_iter update+linesearch iterations reproduces the closure loop. L-BFGS
+memory persists across batches (as torch's does).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def partition(params: Any, mask: Any) -> Tuple[Any, Any]:
+    """Split params into (trainable, frozen) trees by boolean mask; the
+    non-selected side holds None placeholders."""
+    trainable = jax.tree.map(lambda p, m: p if m else None, params, mask)
+    frozen = jax.tree.map(lambda p, m: None if m else p, params, mask)
+    return trainable, frozen
+
+
+def combine(trainable: Any, frozen: Any) -> Any:
+    return jax.tree.map(
+        lambda t, f: t if f is None else f,
+        trainable,
+        frozen,
+        is_leaf=lambda x: x is None,
+    )
+
+
+class LBFGSGroup:
+    """Closure-style L-BFGS over one masked param group."""
+
+    def __init__(self, mask: Any, lr: float, max_iter: int, history: int):
+        self.mask = mask
+        self.max_iter = max_iter
+        self.tx = optax.lbfgs(
+            learning_rate=lr,
+            memory_size=history,
+            linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=15),
+        )
+        self._opt_state = None
+        self._jit_run = None
+
+    def init(self, params: Any):
+        trainable, _ = partition(params, self.mask)
+        self._opt_state = self.tx.init(trainable)
+
+    def step(self, params: Any, loss_of_params: Callable[[Any], jnp.ndarray]) -> Tuple[Any, float]:
+        """One torch-style optimizer.step(closure): up to max_iter L-BFGS
+        iterations on this batch. Returns (new full params, first loss)."""
+        trainable, frozen = partition(params, self.mask)
+        if self._opt_state is None:
+            self._opt_state = self.tx.init(trainable)
+
+        def value_fn(tr):
+            return loss_of_params(combine(tr, frozen))
+
+        value_and_grad = optax.value_and_grad_from_state(value_fn)
+
+        def body(carry, _):
+            tr, st = carry
+            v, g = value_and_grad(tr, state=st)
+            updates, st = self.tx.update(
+                g, st, tr, value=v, grad=g, value_fn=value_fn
+            )
+            tr = optax.apply_updates(tr, updates)
+            return (tr, st), v
+
+        (trainable, self._opt_state), values = jax.lax.scan(
+            body, (trainable, self._opt_state), None, length=self.max_iter
+        )
+        return combine(trainable, frozen), float(values[0])

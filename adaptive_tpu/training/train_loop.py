@@ -1,0 +1,184 @@
+"""The training pipeline stage: epochs, logging, eval, early stop, checkpoints.
+
+Reference parity: main_train (code_src/train.py:16-181) — seeded run, bucket
+loader, dual optimizers + ReduceLROnPlateau x2 (stepped at epoch start on the
+previous epoch's mean loss, initial 100), CNN fine-tune gating from epoch
+opt_fine_tune_cnn_start_epoch+1, loss/perplexity prints every train_log_step,
+weight/grad histogram + scalar metrics, per-epoch CIDEr eval on train_eval +
+val splits, early stop (patience 6), per-epoch checkpoint named
+'cider-%.4f_model-%d' (train.py:176-178).
+
+TPU-native: one jitted SPMD train step (training/step.py) over an optional
+device mesh; batches are device_put with batch-dim sharding (parallel/mesh.py)
+— no DataParallel-style replicate/scatter/gather code.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from adaptive_tpu.data.loader import CocoCaptionDataset, TrainBatches
+from adaptive_tpu.data.vocab import Vocabulary
+from adaptive_tpu.models.factory import get_model
+from adaptive_tpu.parallel import make_mesh, shard_batch, shard_params
+from adaptive_tpu.training import checkpoint as ckpt
+from adaptive_tpu.training.optim import get_lr, make_dual_optimizer, set_lr
+from adaptive_tpu.training.schedule import ReduceLROnPlateau, early_stop_Ornot
+from adaptive_tpu.training.step import make_train_step
+from adaptive_tpu.utils.logging import MetricWriter
+
+
+def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
+    """Returns (params, state, best_cider, best_epoch)."""
+    rng = jax.random.PRNGKey(cf.train_random_seed)  # train.py:18-20
+
+    trained_model_path = os.path.join(cf.exp_dir or ".", "trained_models")
+    os.makedirs(trained_model_path, exist_ok=True)
+
+    vocab = Vocabulary.load(cf.vocab_path)
+    cf = cf.replace(vocab_length=len(vocab))
+
+    if dataset is None:
+        dataset = CocoCaptionDataset(cf.resized_image_dir, cf.train_anno_path, vocab)
+    loader = TrainBatches(
+        dataset,
+        cf.train_batch_size,
+        seed=cf.train_random_seed,
+        num_workers=cf.dataloader_num_workers,
+    )
+
+    writer = MetricWriter(os.path.join(cf.exp_dir or ".", "tensorboard"))
+
+    rng, init_key = jax.random.split(rng)
+    model, params, state, start_epoch = get_model(cf, init_key)
+    dual, opt_state = make_dual_optimizer(params, cf)
+
+    if mesh is None and len(jax.devices()) > 1:
+        candidate = make_mesh(cf)
+        if cf.train_batch_size % candidate.shape[cf.mesh_axes[0]] == 0:
+            mesh = candidate
+        else:
+            print(
+                "mesh disabled: batch %d not divisible by data axis %d"
+                % (cf.train_batch_size, candidate.shape[cf.mesh_axes[0]])
+            )
+    if mesh is not None:
+        params = shard_params(params, mesh)
+
+    decoder_sched = ReduceLROnPlateau(
+        get_lr(opt_state, "decoder"), cf.opt_lrdecay_factor, cf.opt_lrdecay_patience,
+        threshold=0.02, min_lr=1e-6,
+    )  # train.py:57-58
+    encoder_sched = ReduceLROnPlateau(
+        get_lr(opt_state, "encoder"), cf.opt_lrdecay_factor, cf.opt_lrdecay_patience,
+        threshold=0.02, min_lr=1e-7,
+    )  # train.py:59-60
+
+    train_step = make_train_step(model, dual, cf)
+
+    total_step = len(loader)
+    cider_scores, cider_scores_train_eval = [], []
+    best_cider, best_epoch = 0.0, 0
+    train_epoch_losses = []
+    train_epoch_loss = 100.0  # initial value for the scheduler (train.py:80)
+    global_n_iter = 0
+    encoder_opt_flag = False
+
+    final_params, final_state = params, state
+    for epoch in range(start_epoch, cf.train_num_epochs + 1):
+        print("#------------------Training for Epoch %d----------------#" % epoch)
+        if epoch > cf.opt_fine_tune_cnn_start_epoch:  # train.py:89-90
+            encoder_opt_flag = True
+
+        # lr scheduling at epoch start on previous epoch's loss (train.py:93)
+        new_dlr = decoder_sched.step(train_epoch_loss)
+        opt_state = set_lr(opt_state, "decoder", new_dlr)
+        print("learning rate of Decoder is:", new_dlr)
+        writer.add_scalars("learning_rate_per_epoch", {"decoder": new_dlr}, epoch)
+        if encoder_opt_flag:
+            new_elr = encoder_sched.step(train_epoch_loss)
+            opt_state = set_lr(opt_state, "encoder", new_elr)
+            print("learning rate of Encoder is:", new_elr)
+            writer.add_scalars("learning_rate_per_epoch", {"encoder": new_elr}, epoch)
+
+        batch_losses = []
+        for i, batch in enumerate(loader):
+            rng, step_key = jax.random.split(rng)
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+            out = train_step(params, state, opt_state, batch, step_key, encoder_opt_flag)
+            params, state, opt_state = out.params, out.model_state, out.opt_state
+            loss = float(out.loss)
+            batch_losses.append(loss)
+
+            if i % cf.train_log_step == 0:  # train.py:120-125
+                print(
+                    "Epoch [%d/%d], Step [%d/%d], CrossEntropy Loss: %.4f, Perplexity: %5.4f"
+                    % (epoch, cf.train_num_epochs, i, total_step, loss, np.exp(loss))
+                )
+            if global_n_iter % cf.train_tb_interval_batches == 0:  # train.py:128-138
+                writer.add_param_histograms(params, global_n_iter)
+                writer.add_scalar("loss-performance/train loss per batches", loss, global_n_iter)
+                if cf.train_tb_lstm_clip_grad:
+                    writer.add_scalar(
+                        "decoder_norm/decoder_lstm_norm", float(out.lstm_grad_norm), global_n_iter
+                    )
+            global_n_iter += 1
+
+        train_epoch_loss = float(np.mean(batch_losses)) if batch_losses else train_epoch_loss
+        writer.add_scalar("loss-performance/train loss per epoch", train_epoch_loss, epoch)
+        print("Train Loss: epoch", epoch, train_epoch_loss)
+        train_epoch_losses.append(train_epoch_loss)
+        print("Train epoch losses:")
+        print(train_epoch_losses)
+
+        cider = 0.0
+        if cf.train_evalOrnot:  # train.py:151-174
+            from adaptive_tpu.evalcap.coco_eval import coco_eval
+
+            cider_train_eval = coco_eval(
+                cf, model, params, state, epoch=epoch, train_mode=True, vocab=vocab
+            )
+            cider_scores_train_eval.append(cider_train_eval)
+            print("#---printing train_eval cider_scores---#")
+            print(cider_scores_train_eval)
+
+            cider = coco_eval(cf, model, params, state, epoch=epoch, vocab=vocab)
+            cider_scores.append(cider)
+            print("#---printing validation cider_scores---#")
+            print(cider_scores)
+
+            writer.add_scalars(
+                "loss-performance/Cider per epoch",
+                {"train": cider_train_eval, "valid": cider},
+                epoch,
+            )
+            if cider > best_cider:
+                best_cider, best_epoch = cider, epoch
+            if early_stop_Ornot(cf, cider_scores, best_cider):
+                final_params, final_state = params, state
+                break
+
+        # per-epoch checkpoint (train.py:176-178), plus full resume payload
+        ckpt.save_checkpoint(
+            os.path.join(trained_model_path, ckpt.checkpoint_name(cider, epoch)),
+            params,
+            state,
+            opt_state,
+            metadata={
+                "epoch": epoch,
+                "cider": cider,
+                "train_epoch_loss": train_epoch_loss,
+                "model": cf.atten_model_name,
+            },
+        )
+        final_params, final_state = params, state
+
+    writer.close()
+    print("Model of best epoch #: %d with CIDEr score %.2f" % (best_epoch, best_cider))
+    return final_params, final_state, best_cider, best_epoch

@@ -7,7 +7,7 @@ fixtures, and mesh sharding on a virtual device grid.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # hard override: tests never touch the TPU tunnel
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -16,8 +16,13 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-# XLA:CPU's oneDNN matmuls use bf16-ish fast math by default, which breaks
-# fp32 parity assertions; tests always run at full precision.
+# The jaxtyping pytest plugin imports jax before this conftest runs, baking
+# the environment's JAX_PLATFORMS (the axon TPU tunnel) into jax.config — the
+# env var alone is too late. Override via config; the backend itself
+# initializes lazily, so this takes effect.
+jax.config.update("jax_platforms", "cpu")
+
+# XLA:CPU's fast-math matmuls break fp32 parity assertions; full precision.
 jax.config.update("jax_default_matmul_precision", "highest")
 
 

@@ -1,0 +1,114 @@
+"""Greedy + beam decode tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adaptive_tpu.decoding import make_beam_decoder, make_greedy_decoder
+from adaptive_tpu.models.factory import build_model
+
+
+@pytest.fixture(scope="module")
+def setup(tiny_cf):
+    cf = tiny_cf
+    model = build_model(cf)
+    params, state = model.init(jax.random.PRNGKey(0))
+    images = np.random.default_rng(0).integers(0, 255, (2, 72, 72, 3), dtype=np.uint8)
+    return cf, model, params, state, images
+
+
+def test_greedy_shapes_and_determinism(setup):
+    cf, model, params, state, images = setup
+    decode = make_greedy_decoder(model, cf)
+    out1 = decode(params, state, images)
+    out2 = decode(params, state, images)
+    L, K = cf.decode_max_len, (cf.train_crop_size // 32) ** 2
+    assert out1.ids.shape == (2, L)
+    assert out1.attention.shape == (2, L, K)
+    assert out1.beta.shape == (2, L)
+    np.testing.assert_array_equal(np.asarray(out1.ids), np.asarray(out2.ids))
+    # attention rows are softmax distributions
+    np.testing.assert_allclose(np.asarray(out1.attention).sum(-1), 1.0, atol=1e-4)
+
+
+def test_greedy_matches_manual_stepping(setup):
+    """The scan decode must reproduce the reference-style per-token loop."""
+    cf, model, params, state, images = setup
+    from adaptive_tpu.ops.preprocess import eval_preprocess
+
+    decode = make_greedy_decoder(model, cf)
+    out = decode(params, state, images)
+
+    x = eval_preprocess(jnp.asarray(images), cf.train_crop_size)
+    V, v_g, h0, c0, _ = model.encode(params, state, x)
+    dstate = model.init_decode_state(h0, c0)
+    tok = jnp.full((2,), cf.decode_start_token, jnp.int32)
+    ids = []
+    for _ in range(cf.decode_max_len):
+        logits, _, _, dstate = model.decode_step(params, tok, v_g, dstate, V, False)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        ids.append(np.asarray(tok))
+    manual = np.stack(ids, 1)
+    got = np.asarray(out.ids)
+    # compare up to each row's first <end> (scan freezes finished rows)
+    for b in range(2):
+        stop = np.argmax(manual[b] == cf.decode_eos_token) if (manual[b] == cf.decode_eos_token).any() else len(manual[b])
+        np.testing.assert_array_equal(got[b, : stop + 1], manual[b, : stop + 1])
+
+
+def test_greedy_eos_freezing(setup):
+    cf, model, params, state, images = setup
+    decode = make_greedy_decoder(model, cf)
+    ids = np.asarray(decode(params, state, images).ids)
+    for row in ids:
+        hits = np.where(row == cf.decode_eos_token)[0]
+        if hits.size:
+            assert (row[hits[0]:] == cf.decode_eos_token).all()
+
+
+def test_beam_not_worse_than_greedy(setup):
+    """Beam-1 element of beam search must score >= greedy's sequence logprob
+    (beam explores a superset)."""
+    cf, model, params, state, images = setup
+    greedy = make_greedy_decoder(model, cf)
+    beam = make_beam_decoder(model, cf, beam_size=3)
+    gout = greedy(params, state, images)
+    bout = beam(params, state, images)
+    assert bout.ids.shape == (2, cf.decode_max_len)
+    assert bout.all_ids.shape == (2, 3, cf.decode_max_len)
+
+    # compute greedy sequence logprob by rescoring
+    def seq_logprob(ids):
+        from adaptive_tpu.ops.preprocess import eval_preprocess
+
+        x = eval_preprocess(jnp.asarray(images), cf.train_crop_size)
+        V, v_g, h0, c0, _ = model.encode(params, state, x)
+        dstate = model.init_decode_state(h0, c0)
+        tok = jnp.full((2,), cf.decode_start_token, jnp.int32)
+        total = np.zeros(2)
+        done = np.zeros(2, bool)
+        for t in range(ids.shape[1]):
+            logits, _, _, dstate = model.decode_step(params, tok, v_g, dstate, V, False)
+            lp = np.asarray(jax.nn.log_softmax(logits, -1))
+            nxt = np.asarray(ids[:, t])
+            total += np.where(done, 0.0, lp[np.arange(2), nxt])
+            done |= nxt == cf.decode_eos_token
+            tok = jnp.asarray(nxt)
+        return total
+
+    g_lp = seq_logprob(np.asarray(gout.ids))
+    b_lp = np.asarray(bout.score)
+    assert (b_lp >= g_lp - 1e-3).all(), (b_lp, g_lp)
+
+
+def test_beam_finished_beams_stay_frozen(setup):
+    cf, model, params, state, images = setup
+    beam = make_beam_decoder(model, cf, beam_size=3)
+    out = beam(params, state, images)
+    ids = np.asarray(out.all_ids)
+    for b in range(ids.shape[0]):
+        for w in range(ids.shape[1]):
+            hits = np.where(ids[b, w] == cf.decode_eos_token)[0]
+            if hits.size:
+                assert (ids[b, w, hits[0]:] == cf.decode_eos_token).all()
