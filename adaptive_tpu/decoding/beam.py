@@ -38,7 +38,8 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
     @jax.jit
     def decode(params, state, images_u8) -> BeamOutput:
         images = eval_preprocess(images_u8, size, model.compute_dtype)
-        V, v_g, h0, c0, _ = model.encode(params, state, images, train=False)
+        V, v_g, h0, c0 = model.encode_inference(params, state, images)
+        params = model.decoder_inference_params(params)
         B = V.shape[0]
         K, H = V.shape[1], h0.shape[-1]
 

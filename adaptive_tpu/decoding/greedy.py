@@ -47,7 +47,9 @@ def make_greedy_decoder(model, cf):
     @jax.jit
     def decode(params, state, images_u8) -> GreedyOutput:
         images = eval_preprocess(images_u8, size, model.compute_dtype)
-        V, v_g, h0, c0, _ = model.encode(params, state, images, train=False)
+        # inference fast path: BN-folded encoder + compute-dtype decoder weights
+        V, v_g, h0, c0 = model.encode_inference(params, state, images)
+        params = model.decoder_inference_params(params)
         B = V.shape[0]
         pv = model.precompute_slots(params, V)  # hoisted out of the scan
         dstate = model.init_decode_state(h0, c0)

@@ -48,6 +48,22 @@ class CaptionModel(NamedTuple):
             params["encoder"], state, images.astype(self.compute_dtype), self.arch, train
         )
 
+    def encode_inference(self, params, state, images):
+        """BN-folded, dtype-cast encoder forward for the decode hot path
+        (models/infer.py). Same outputs as encode(train=False)."""
+        from adaptive_tpu.models.infer import encoder_apply_inference
+
+        return encoder_apply_inference(
+            params["encoder"], state, images, self.arch, self.compute_dtype
+        )
+
+    def decoder_inference_params(self, params):
+        """Decoder subtree cast to the compute dtype (halves HBM streaming of
+        the vocab head in the decode scan)."""
+        from adaptive_tpu.models.infer import cast_floating
+
+        return {**params, "decoder": cast_floating(params["decoder"], self.compute_dtype)}
+
     # --------------------------------------------------------------- forward
     def forward(self, params, state, images, captions, train: bool = False):
         """Teacher-forced scores: (scores [B,T,vocab], (alpha, beta), state').
