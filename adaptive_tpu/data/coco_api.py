@@ -23,7 +23,9 @@ class COCO:
         self.dataset: Dict[str, Any] = {}
         self.anns: Dict[int, dict] = {}
         self.imgs: Dict[int, dict] = {}
+        self.cats: Dict[int, dict] = {}
         self.imgToAnns: Dict[int, List[dict]] = defaultdict(list)
+        self.catToImgs: Dict[int, List[int]] = defaultdict(list)
         if annotation_file is not None:
             tic = time.time()
             with open(annotation_file) as f:
@@ -33,36 +35,103 @@ class COCO:
             self.createIndex()
 
     def createIndex(self):
-        anns, imgs = {}, {}
+        anns, imgs, cats = {}, {}, {}
         imgToAnns = defaultdict(list)
+        catToImgs = defaultdict(list)
         for ann in self.dataset.get("annotations", []):
             imgToAnns[ann["image_id"]].append(ann)
             anns[ann["id"]] = ann
+            if "category_id" in ann:
+                catToImgs[ann["category_id"]].append(ann["image_id"])
         for img in self.dataset.get("images", []):
             imgs[img["id"]] = img
-        self.anns, self.imgs, self.imgToAnns = anns, imgs, imgToAnns
+        for cat in self.dataset.get("categories", []):
+            cats[cat["id"]] = cat
+        self.anns, self.imgs, self.cats = anns, imgs, cats
+        self.imgToAnns, self.catToImgs = imgToAnns, catToImgs
 
     # ------------------------------------------------------------------ gets
-    def getImgIds(self, imgIds: Union[int, Iterable[int]] = ()) -> List[int]:
-        imgIds = _as_list(imgIds)
-        if not imgIds:
+    def getImgIds(self, imgIds: Union[int, Iterable[int]] = (), catIds: Union[int, Iterable[int]] = ()) -> List[int]:
+        imgIds, catIds = _as_list(imgIds), _as_list(catIds)
+        if not imgIds and not catIds:
             return list(self.imgs.keys())
-        return [i for i in imgIds if i in self.imgs]
+        ids = set(imgIds) if imgIds else set(self.imgs.keys())
+        for c in catIds:
+            ids &= set(self.catToImgs[c])
+        return [i for i in ids if i in self.imgs]
 
-    def getAnnIds(self, imgIds: Union[int, Iterable[int]] = ()) -> List[int]:
-        imgIds = _as_list(imgIds)
-        if not imgIds:
-            return list(self.anns.keys())
-        out: List[int] = []
-        for i in imgIds:
-            out.extend(a["id"] for a in self.imgToAnns.get(i, []))
-        return out
+    def getAnnIds(
+        self,
+        imgIds: Union[int, Iterable[int]] = (),
+        catIds: Union[int, Iterable[int]] = (),
+        areaRng: Iterable[float] = (),
+        iscrowd: Optional[bool] = None,
+    ) -> List[int]:
+        imgIds, catIds, areaRng = _as_list(imgIds), _as_list(catIds), list(areaRng)
+        if imgIds:
+            anns: List[dict] = []
+            for i in imgIds:
+                anns.extend(self.imgToAnns.get(i, []))
+        else:
+            anns = list(self.anns.values())
+        if catIds:
+            cset = set(catIds)
+            anns = [a for a in anns if a.get("category_id") in cset]
+        if areaRng:
+            anns = [a for a in anns if areaRng[0] < a.get("area", 0) < areaRng[1]]
+        if iscrowd is not None:
+            anns = [a for a in anns if a.get("iscrowd", 0) == iscrowd]
+        return [a["id"] for a in anns]
+
+    def getCatIds(self, catNms=(), supNms=(), catIds=()) -> List[int]:
+        cats = list(self.cats.values())
+        if catNms:
+            cats = [c for c in cats if c["name"] in set(_as_list(catNms))]
+        if supNms:
+            cats = [c for c in cats if c.get("supercategory") in set(_as_list(supNms))]
+        if catIds:
+            cset = set(_as_list(catIds))
+            cats = [c for c in cats if c["id"] in cset]
+        return [c["id"] for c in cats]
 
     def loadImgs(self, ids: Union[int, Iterable[int]]) -> List[dict]:
         return [self.imgs[i] for i in _as_list(ids)]
 
     def loadAnns(self, ids: Union[int, Iterable[int]]) -> List[dict]:
         return [self.anns[i] for i in _as_list(ids)]
+
+    def loadCats(self, ids: Union[int, Iterable[int]]) -> List[dict]:
+        return [self.cats[i] for i in _as_list(ids)]
+
+    # ----------------------------------------------------------------- masks
+    def annToRLE(self, ann: dict):
+        """Annotation segmentation (polygon | uncompressed RLE | RLE) -> RLE
+        (pycocotools coco.py annToRLE semantics) via the native mask lib."""
+        from adaptive_tpu.native import mask as maskUtils
+
+        img = self.imgs[ann["image_id"]]
+        h, w = img["height"], img["width"]
+        segm = ann["segmentation"]
+        if isinstance(segm, list):
+            rles = maskUtils.frPyObjects(segm, h, w)
+            return maskUtils.merge(rles if isinstance(rles, list) else [rles])
+        if isinstance(segm.get("counts"), list):
+            # uncompressed RLE: counts list -> compact string via roundtrip
+            import numpy as _np
+
+            arr = _np.zeros(h * w, _np.uint8)
+            pos, v = 0, 0
+            for c in segm["counts"]:
+                arr[pos : pos + c] = v
+                pos += c
+                v = 1 - v
+            return maskUtils.encode(arr.reshape(w, h).T)
+        return segm
+
+    def annToMask(self, ann: dict):
+        from adaptive_tpu.native import mask as maskUtils
+
+        return maskUtils.decode(self.annToRLE(ann))
 
     # --------------------------------------------------------------- results
     def loadRes(self, resFile: Union[str, List[dict]]) -> "COCO":
@@ -88,6 +157,35 @@ class COCO:
             res.dataset["images"] = [i for i in res.dataset["images"] if i["id"] in imgIds]
             for aid, ann in enumerate(anns):
                 ann["id"] = aid + 1
+        elif anns and "bbox" in anns[0] and anns[0]["bbox"] != []:
+            res.dataset["categories"] = copy.deepcopy(self.dataset.get("categories", []))
+            for aid, ann in enumerate(anns):
+                bb = ann["bbox"]
+                if "segmentation" not in ann:
+                    x1, x2, y1, y2 = bb[0], bb[0] + bb[2], bb[1], bb[1] + bb[3]
+                    ann["segmentation"] = [[x1, y1, x1, y2, x2, y2, x2, y1]]
+                ann["area"] = bb[2] * bb[3]
+                ann["id"] = aid + 1
+                ann["iscrowd"] = 0
+        elif anns and "segmentation" in anns[0]:
+            from adaptive_tpu.native import mask as maskUtils
+
+            res.dataset["categories"] = copy.deepcopy(self.dataset.get("categories", []))
+            for aid, ann in enumerate(anns):
+                ann["area"] = float(maskUtils.area(ann["segmentation"]))
+                if "bbox" not in ann:
+                    ann["bbox"] = maskUtils.toBbox(ann["segmentation"]).tolist()
+                ann["id"] = aid + 1
+                ann["iscrowd"] = 0
+        elif anns and "keypoints" in anns[0]:
+            res.dataset["categories"] = copy.deepcopy(self.dataset.get("categories", []))
+            for aid, ann in enumerate(anns):
+                s = ann["keypoints"]
+                x, y = s[0::3], s[1::3]
+                x0, x1, y0, y1 = min(x), max(x), min(y), max(y)
+                ann["area"] = (x1 - x0) * (y1 - y0)
+                ann["id"] = aid + 1
+                ann["bbox"] = [x0, y0, x1 - x0, y1 - y0]
         res.dataset["annotations"] = anns
         res.createIndex()
         return res

@@ -31,6 +31,7 @@ class CaptionModel(NamedTuple):
     crop_size: int
     compute_dtype: Any
     use_pallas: bool = False
+    remat_encoder: bool = False
 
     # ------------------------------------------------------------------ init
     def init(self, key) -> Tuple[Dict, Dict]:
@@ -44,7 +45,14 @@ class CaptionModel(NamedTuple):
     # ---------------------------------------------------------------- encode
     def encode(self, params, state, images, train: bool = False):
         """Preprocessed float images NHWC -> (V, v_g, h0, c0, state')."""
-        return E.encoder_apply(
+        apply = E.encoder_apply
+        if self.remat_encoder and train:
+            # trade ~2x encoder FLOPs for not materializing ResNet activations
+            # across the backward pass (jax.checkpoint / rematerialization)
+            apply = jax.checkpoint(
+                E.encoder_apply, static_argnums=(3, 4), policy=None
+            )
+        return apply(
             params["encoder"], state, images.astype(self.compute_dtype), self.arch, train
         )
 
@@ -125,6 +133,7 @@ def build_model(cf) -> CaptionModel:
         crop_size=cf.train_crop_size,
         compute_dtype=dtype,
         use_pallas=use_pallas,
+        remat_encoder=cf.remat_encoder,
     )
 
 

@@ -106,31 +106,34 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
             print("learning rate of Encoder is:", new_elr)
             writer.add_scalars("learning_rate_per_epoch", {"encoder": new_elr}, epoch)
 
-        batch_losses = []
+        batch_losses = []  # device scalars; fetched lazily to avoid per-step syncs
         for i, batch in enumerate(loader):
             rng, step_key = jax.random.split(rng)
             if mesh is not None:
                 batch = shard_batch(mesh, batch)
             out = train_step(params, state, opt_state, batch, step_key, encoder_opt_flag)
             params, state, opt_state = out.params, out.model_state, out.opt_state
-            loss = float(out.loss)
-            batch_losses.append(loss)
+            batch_losses.append(out.loss)
 
             if i % cf.train_log_step == 0:  # train.py:120-125
+                loss = float(out.loss)  # sync only on log steps
                 print(
                     "Epoch [%d/%d], Step [%d/%d], CrossEntropy Loss: %.4f, Perplexity: %5.4f"
                     % (epoch, cf.train_num_epochs, i, total_step, loss, np.exp(loss))
                 )
             if global_n_iter % cf.train_tb_interval_batches == 0:  # train.py:128-138
                 writer.add_param_histograms(params, global_n_iter)
-                writer.add_scalar("loss-performance/train loss per batches", loss, global_n_iter)
+                writer.add_scalar(
+                    "loss-performance/train loss per batches", float(out.loss), global_n_iter
+                )
                 if cf.train_tb_lstm_clip_grad:
                     writer.add_scalar(
                         "decoder_norm/decoder_lstm_norm", float(out.lstm_grad_norm), global_n_iter
                     )
             global_n_iter += 1
 
-        train_epoch_loss = float(np.mean(batch_losses)) if batch_losses else train_epoch_loss
+        if batch_losses:
+            train_epoch_loss = float(np.mean([float(l) for l in batch_losses]))
         writer.add_scalar("loss-performance/train loss per epoch", train_epoch_loss, epoch)
         print("Train Loss: epoch", epoch, train_epoch_loss)
         train_epoch_losses.append(train_epoch_loss)
