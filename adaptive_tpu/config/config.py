@@ -148,6 +148,9 @@ class Config:
     mesh_shape: Tuple[int, ...] = (-1, 1)
     # Gradient checkpointing for the encoder when memory-bound.
     remat_encoder: bool = False
+    # Multi-host: call jax.distributed.initialize() at startup (one process
+    # per host; the same mesh code then spans all hosts' devices over DCN).
+    distributed_init: bool = False
 
     # Derived / runtime fields (filled by Experiment.setup or stages).
     exp_dir: str = ""

@@ -221,6 +221,29 @@ class EvalBatches:
         yield from _prefetched(self._make_batch, batches, self.num_workers, self.prefetch)
 
 
+def device_prefetch(iterator: Iterator, size: int = 2, sharding=None) -> Iterator:
+    """Overlap host->device transfer with compute: keep `size` batches in
+    flight on device (device_put is async). With a NamedSharding, batches land
+    already sharded over the mesh (replaces torch DataLoader pinned-memory +
+    DataParallel scatter)."""
+    import collections
+
+    import jax
+
+    def put(batch):
+        if sharding is None:
+            return {k: jax.device_put(v) for k, v in batch.items()}
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+    buf = collections.deque()
+    for item in iterator:
+        buf.append(put(item))
+        if len(buf) > size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def _prefetched(fn, work_items: List, num_workers: int, prefetch: int) -> Iterator:
     """Run fn over work_items with a thread pool, yielding in order with a
     bounded prefetch window (replaces torch DataLoader worker processes)."""

@@ -17,6 +17,13 @@ from adaptive_tpu.utils.logging import HMS, configurationPATH
 
 
 def process(cf: Config):
+    if getattr(cf, "distributed_init", False):
+        # multi-host: one process per host, same mesh code path over all
+        # devices (DCN data parallelism; SURVEY.md §2 parallelism table)
+        import jax
+
+        jax.distributed.initialize()
+
     if cf.resizeOrnot:
         print(">---------resize images---------<")
         from adaptive_tpu.data.resize import main_resize_images

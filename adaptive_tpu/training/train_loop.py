@@ -107,10 +107,14 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
             writer.add_scalars("learning_rate_per_epoch", {"encoder": new_elr}, epoch)
 
         batch_losses = []  # device scalars; fetched lazily to avoid per-step syncs
-        for i, batch in enumerate(loader):
+        from adaptive_tpu.data.loader import device_prefetch
+        from adaptive_tpu.parallel.mesh import data_sharding
+
+        batches = device_prefetch(
+            iter(loader), size=2, sharding=data_sharding(mesh) if mesh is not None else None
+        )
+        for i, batch in enumerate(batches):
             rng, step_key = jax.random.split(rng)
-            if mesh is not None:
-                batch = shard_batch(mesh, batch)
             out = train_step(params, state, opt_state, batch, step_key, encoder_opt_flag)
             params, state, opt_state = out.params, out.model_state, out.opt_state
             batch_losses.append(out.loss)
@@ -184,4 +188,26 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
 
     writer.close()
     print("Model of best epoch #: %d with CIDEr score %.2f" % (best_epoch, best_cider))
+    figure_loss(cf, train_epoch_losses)
     return final_params, final_state, best_cider, best_epoch
+
+
+def figure_loss(cf, train_losses):
+    """Loss-curve figure (train.py:264-277 parity; saved once at run end)."""
+    if not train_losses or not cf.exp_dir:
+        return
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    plt.figure()
+    plt.title("Train Losses")
+    plt.xlabel("epochs")
+    plt.ylabel("losses")
+    plt.plot(train_losses, color="b", label="train losses")
+    plt.legend()
+    plt.savefig(os.path.join(cf.exp_dir, "loss_figure_%d.jpg" % len(train_losses)))
+    plt.close()

@@ -31,6 +31,7 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--beam", type=int, default=1)
     p.add_argument("--use-pallas", default="auto")
+    p.add_argument("--profile-dir", default="", help="write a jax.profiler trace here")
     args = p.parse_args()
 
     import jax
@@ -65,11 +66,15 @@ def main():
         return jnp.sum(out.ids)  # scalar sync handle
 
     _ = float(np.asarray(step(params, state, images)))  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        r = step(params, state, images)
-    _ = float(np.asarray(r))
-    dt = (time.perf_counter() - t0) / args.iters
+
+    from adaptive_tpu.utils.profiling import profile_trace
+
+    with profile_trace(args.profile_dir, enabled=bool(args.profile_dir)):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            r = step(params, state, images)
+        _ = float(np.asarray(r))
+        dt = (time.perf_counter() - t0) / args.iters
 
     cps = args.batch / dt
     print(
