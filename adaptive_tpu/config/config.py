@@ -113,6 +113,10 @@ class Config:
 
     # ------------------- per-model hparams (cfg_wzn.py:108-122) ----------------
     vocab_length: int = 10123           # statics:1 (set from vocab at runtime)
+    # Pad the embedding/head vocab dim to a multiple (e.g. 128) for MXU lane
+    # alignment + TP divisibility; padded logits are masked to -inf so the
+    # softmax/argmax math is exactly the unpadded model's. 1 = no padding.
+    vocab_pad_multiple: int = 1
     base_word_embed_size: int = 256
     base_lstm_hidden_size: int = 512
     adaptive_word_embed_size: int = 256

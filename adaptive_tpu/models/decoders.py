@@ -41,6 +41,13 @@ class DecoderSpec(NamedTuple):
     atten_dim: int = 49  # projection dim inside additive attention (== slots in ref)
     rnn_bidirectional: bool = True
     rnn_num_layers: int = 1
+    # vocab dim of the embedding/head params; > vocab_size when padded for
+    # MXU lane alignment / TP divisibility. Padded logits are masked to -inf.
+    padded_vocab: int = 0
+
+    @property
+    def vocab_param_dim(self) -> int:
+        return self.padded_vocab or self.vocab_size
 
 
 # ----------------------------------------------------------------------- init
@@ -48,7 +55,7 @@ def init_decoder(key, spec: DecoderSpec) -> Dict:
     ke, kl, ka = jax.random.split(key, 3)
     p: Dict[str, Any] = {
         # torch nn.Embedding default init: N(0, 1) (not re-initialized in ref)
-        "embed": jax.random.normal(ke, (spec.vocab_size, spec.embed_size), jnp.float32),
+        "embed": jax.random.normal(ke, (spec.vocab_param_dim, spec.embed_size), jnp.float32),
         "lstm": inits.lstm_init(kl, 2 * spec.embed_size, spec.hidden_size),
         "adaptive": _init_adaptive_block(ka, spec),
     }
@@ -99,8 +106,20 @@ def _init_adaptive_block(key, spec: DecoderSpec) -> Dict:
 
     # Final vocab head: kaiming_normal(relu) (baseline_attention.py:114,
     # adaptive_attention.py:108)
-    block["mlp"] = inits.linear_params(next(k), mlp_in, spec.vocab_size, "kaiming_normal", "relu")
+    block["mlp"] = inits.linear_params(
+        next(k), mlp_in, spec.vocab_param_dim, "kaiming_normal", "relu"
+    )
     return block
+
+
+def mask_padded_vocab(spec: DecoderSpec, scores: jnp.ndarray) -> jnp.ndarray:
+    """-inf out logits of vocab-padding columns so softmax/argmax equal the
+    unpadded model exactly."""
+    if not spec.padded_vocab or spec.padded_vocab == spec.vocab_size:
+        return scores
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
+    neg = jnp.asarray(jnp.finfo(scores.dtype).min, scores.dtype)
+    return jnp.where(col < spec.vocab_size, scores, neg)
 
 
 # --------------------------------------------------------- adaptive block fwd
@@ -148,7 +167,8 @@ def decoder_forward(
     emb = params["embed"][captions]  # [B,T,E]
     x = jnp.concatenate([emb, jnp.broadcast_to(v_g[:, None, :], emb.shape)], axis=-1)
     hiddens, cells, _ = lstm_scan(params["lstm"], x, (h0, c0))
-    return adaptive_block_apply(params["adaptive"], spec, x, hiddens, cells, V)
+    scores, alpha, beta = adaptive_block_apply(params["adaptive"], spec, x, hiddens, cells, V)
+    return mask_padded_vocab(spec, scores), alpha, beta
 
 
 # ------------------------------------------------------------- single step
@@ -194,7 +214,7 @@ def decode_step(
         c_hat, alpha1, beta1 = adaptive_attention_step_fused(
             block["atten"], block["sentinel"], x, h_new, c, h_prev, V, pv
         )
-        logits = _inits.linear(block["mlp"], c_hat + h_new)
+        logits = mask_padded_vocab(spec, _inits.linear(block["mlp"], c_hat + h_new))
         return logits, alpha1, beta1, DecodeState(h, c, h_new)
 
     scores, alpha, beta = adaptive_block_apply(
@@ -203,4 +223,5 @@ def decode_step(
     )
     if beta is None:
         beta = jnp.zeros((token.shape[0], 1, 1), scores.dtype)
+    scores = mask_padded_vocab(spec, scores)
     return scores[:, 0, :], alpha[:, 0, :], beta[:, 0, :], DecodeState(h, c, h_new)

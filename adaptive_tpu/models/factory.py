@@ -112,6 +112,8 @@ def build_model(cf) -> CaptionModel:
     if cf.atten_model_name not in VARIANTS:
         raise ValueError(f"unknown atten_model_name {cf.atten_model_name!r}")
     num_slots = (cf.train_crop_size // 32) ** 2  # 49 at 224 (7x7 map)
+    m = max(1, cf.vocab_pad_multiple)
+    padded_vocab = ((cf.vocab_length + m - 1) // m) * m
     spec = D.DecoderSpec(
         variant=cf.atten_model_name,
         embed_size=cf.word_embed_size,
@@ -121,6 +123,7 @@ def build_model(cf) -> CaptionModel:
         atten_dim=num_slots,  # reference ties the attention dim to 49 slots
         rnn_bidirectional=cf.rnn_attention_bidirectional,
         rnn_num_layers=cf.rnn_attention_numlayers,
+        padded_vocab=padded_vocab if padded_vocab != cf.vocab_length else 0,
     )
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cf.compute_dtype]
     use_pallas = cf.use_pallas == "always" or (

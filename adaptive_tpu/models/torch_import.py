@@ -155,6 +155,30 @@ def convert_reference_checkpoint(sd: Dict[str, Any], variant: str, arch: str = "
     return params, {"resnet": rn_state}
 
 
+def pad_vocab_params(decoder: Dict, padded_vocab: int) -> Dict:
+    """Zero-pad the embedding rows and head columns to `padded_vocab` (for
+    converting unpadded checkpoints into a vocab-padded model; padded logits
+    are masked to -inf at apply time so outputs are identical)."""
+    out = dict(decoder)
+    V, E = decoder["embed"].shape
+    if V < padded_vocab:
+        out["embed"] = np.concatenate(
+            [np.asarray(decoder["embed"]), np.zeros((padded_vocab - V, E), np.float32)]
+        )
+        blk = dict(decoder["adaptive"])
+        mlp = dict(blk["mlp"])
+        k = np.asarray(mlp["kernel"])
+        mlp["kernel"] = np.concatenate(
+            [k, np.zeros((k.shape[0], padded_vocab - V), np.float32)], axis=1
+        )
+        if "bias" in mlp:
+            b = np.asarray(mlp["bias"])
+            mlp["bias"] = np.concatenate([b, np.zeros((padded_vocab - V,), np.float32)])
+        blk["mlp"] = mlp
+        out["adaptive"] = blk
+    return out
+
+
 def load_pretrained_resnet(npz_path: str, params: Dict, state: Dict) -> Tuple[Dict, Dict]:
     """Install a pre-converted torchvision resnet .npz (see save_resnet_npz)
     into an initialized param/state tree."""

@@ -57,6 +57,7 @@ beam_size = 1                   # >1 switches the eval decoder to beam search
 encoder_backbone = "resnet152"
 encoder_pretrained_npz = ""     # set to a converted torchvision resnet152 .npz
 compute_dtype = "bfloat16"
+vocab_pad_multiple = 128        # 10123 -> 10240: MXU-aligned head, TP-divisible
 use_pallas = "auto"
 mesh_axes = ("data", "model")
 mesh_shape = (-1, 1)            # pure data parallelism over all chips
