@@ -26,7 +26,7 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 from adaptive_tpu.data.coco_api import COCO
-from adaptive_tpu.data.vocab import Vocabulary
+from adaptive_tpu.data.vocab import END_ID, Vocabulary
 
 # Caption length buckets (token count incl. <start>/<end>). Train captions are
 # max 52 / mean 10.47 tokens (reference statics:10-12), so these four static
@@ -143,7 +143,7 @@ class TrainBatches:
         lengths = np.zeros((len(samples),), dtype=np.int32)
         for r, (_, cap, _) in enumerate(samples):
             if len(cap) > bucket:  # truncate, keeping <end> terminal
-                cap = list(cap[: bucket - 1]) + [2]
+                cap = list(cap[: bucket - 1]) + [END_ID]
             captions[r, : len(cap)] = cap
             lengths[r] = len(cap)
         img_ids = np.array([s[2] for s in samples], dtype=np.int64)

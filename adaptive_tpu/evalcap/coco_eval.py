@@ -63,8 +63,10 @@ def coco_eval(
     test_mode: bool = False,
     valid_mode: bool = False,
     vocab: Optional[Vocabulary] = None,
+    decoder=None,
 ) -> float:
-    """Returns the split's CIDEr (utils.py:108-250)."""
+    """Returns the split's CIDEr (utils.py:108-250). Pass a prebuilt decoder
+    to share one compiled decode program across calls (per-epoch evals)."""
     assert not (test_mode and valid_mode and train_mode)
 
     if vocab is None:
@@ -87,7 +89,7 @@ def coco_eval(
         banner = "evaluating a subset of training data on MS-COCO dataset"
     print(f"---------------------Start {banner}-----------------------")
 
-    results = decode_split(cf, model, params, state, ann_path, vocab)
+    results = decode_split(cf, model, params, state, ann_path, vocab, decoder=decoder)
     print("#-----------------------Caption Generated-----------------------#")
 
     # results file naming per mode (utils.py:205-222)
@@ -130,7 +132,7 @@ def get_testOrValid_model(cf, test_mode: bool, valid_mode: bool):
     import jax
 
     model = build_model(cf)
-    params, state = model.init(jax.random.PRNGKey(cf.train_random_seed))
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(cf.train_random_seed))
     path = cf.test_pretrained_model if test_mode else cf.valid_pretrained_model
     if path:
         params, state = ckpt.restore_model(path, params, state)

@@ -72,8 +72,10 @@ class COCOeval:
         gts = self.cocoGt.loadAnns(self.cocoGt.getAnnIds(imgIds=p.imgIds, catIds=p.catIds if p.useCats else ()))
         dts = self.cocoDt.loadAnns(self.cocoDt.getAnnIds(imgIds=p.imgIds, catIds=p.catIds if p.useCats else ()))
         if p.iouType == "segm":
-            for ann in gts + dts:
-                ann["segmentation"] = _to_rle(ann, self.cocoGt if ann in gts else self.cocoDt)
+            for ann in gts:
+                ann["segmentation"] = _to_rle(ann, self.cocoGt)
+            for ann in dts:
+                ann["segmentation"] = _to_rle(ann, self.cocoDt)
         for gt in gts:
             gt["ignore"] = 1 if gt.get("iscrowd") else 0
             if p.iouType == "keypoints":

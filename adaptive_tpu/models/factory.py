@@ -145,17 +145,23 @@ def get_model(cf, key: Optional[jax.Array] = None):
     (model_factory.py:14-21: start epoch parsed from '...-N.pkl')."""
     model = build_model(cf)
     key = key if key is not None else jax.random.PRNGKey(cf.train_random_seed)
-    params, state = model.init(key)
+    # jitted init: one compiled program; eager init dispatches ~100 separate
+    # RNG jits (minutes on a slow host, seconds jitted)
+    params, state = jax.jit(model.init)(key)
     start_epoch = 1
-    if cf.train_pretrained and cf.train_pretrained_model:
-        from adaptive_tpu.training import checkpoint as ckpt
-
-        params, state = ckpt.restore_model(cf.train_pretrained_model, params, state)
-        start_epoch = ckpt.epoch_from_filename(cf.train_pretrained_model) + 1
+    # Order matters: pretrained ImageNet weights are the *base* (the reference
+    # loads them at construction, baseline_attention.py:16); a training
+    # checkpoint restores OVER them — never the reverse, or a resume would
+    # silently reset a fine-tuned encoder + BN stats to ImageNet.
     if cf.encoder_pretrained_npz:
         from adaptive_tpu.models import torch_import
 
         params, state = torch_import.load_pretrained_resnet(
             cf.encoder_pretrained_npz, params, state
         )
+    if cf.train_pretrained and cf.train_pretrained_model:
+        from adaptive_tpu.training import checkpoint as ckpt
+
+        params, state = ckpt.restore_model(cf.train_pretrained_model, params, state)
+        start_epoch = ckpt.epoch_from_filename(cf.train_pretrained_model) + 1
     return model, params, state, start_epoch

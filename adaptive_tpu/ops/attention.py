@@ -16,7 +16,7 @@ adaptive_tpu.ops.pallas (same signatures, numerically equal).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

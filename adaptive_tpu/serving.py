@@ -62,19 +62,28 @@ class CaptionService:
         self._worker.start()
 
     # ------------------------------------------------------------------ api
-    def caption(self, image_u8: np.ndarray, timeout: Optional[float] = None) -> Dict:
+    def caption(self, image_u8: np.ndarray, timeout: Optional[float] = 60.0) -> Dict:
         assert image_u8.ndim == 3 and image_u8.dtype == np.uint8
+        if self._stop.is_set():
+            return {"error": "service closed"}
         reply: "queue.Queue" = queue.Queue(1)
         self._queue.put((image_u8, reply))
         return reply.get(timeout=timeout)
 
     def warmup(self):
         img = np.zeros((self.cf.resized_image_size,) * 2 + (3,), np.uint8)
-        self.caption(img)
+        self.caption(img, timeout=None)  # first call compiles
 
     def close(self):
+        """Stop the worker and fail any queued/in-flight requests."""
         self._stop.set()
-        self._worker.join(timeout=5)
+        self._worker.join(timeout=10)
+        while True:  # drain: callers must not block forever
+            try:
+                _, reply = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            reply.put({"error": "service closed"})
 
     # ------------------------------------------------------------- internals
     def _loop(self):

@@ -81,3 +81,67 @@ class LBFGSGroup:
             body, (trainable, self._opt_state), None, length=self.max_iter
         )
         return combine(trainable, frozen), float(values[0])
+
+
+def make_lbfgs_train_step(model, dual, cf):
+    """Train step used when either optimizer group is 'lbfgs'.
+
+    Reference semantics (train.py:108-115 + model_optimize:197-219): the
+    decoder group steps first; when CNN fine-tuning is on, the encoder group
+    steps after — adam/sgd groups reuse the initial backward's gradients,
+    lbfgs groups re-evaluate the loss closure up to max_iter times on the
+    same batch. BN running stats update once from the initial forward (not
+    per inner L-BFGS iteration). Host-driven (not wholly jitted): the inner
+    L-BFGS loop syncs its first loss per batch.
+    """
+    import optax
+
+    from adaptive_tpu.ops.preprocess import train_preprocess
+    from adaptive_tpu.training.step import StepOutput, clip_lstm_grads, masked_ce_loss
+
+    groups = {}
+    if dual.decoder_is_lbfgs:
+        groups["decoder"] = LBFGSGroup(
+            dual.decoder_mask, cf.opt_rnn_lbfgs_lr, cf.opt_rnn_lbfgs_max_iter,
+            cf.opt_rnn_lbfgs_history,
+        )
+    if dual.encoder_is_lbfgs:
+        groups["encoder"] = LBFGSGroup(
+            dual.encoder_mask, cf.opt_cnn_lbfgs_lr, cf.opt_cnn_lbfgs_max_iter,
+            cf.opt_cnn_lbfgs_history,
+        )
+
+    def train_step(params, state, opt_state, batch, rng, encoder_on=False):
+        def loss_fn(p, s):
+            images = train_preprocess(
+                rng, batch["images"], cf.train_crop_size, model.compute_dtype
+            )
+            scores, _, new_s = model.forward(p, s, images, batch["captions"], train=True)
+            return masked_ce_loss(scores, batch["captions"], batch["lengths"]), new_s
+
+        (loss, new_state), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, state), has_aux=True
+        )(params)
+        grads, lstm_norm = clip_lstm_grads(grads, cf.train_lstm_maxnormal)
+        value_fn = lambda p: loss_fn(p, state)[0]  # noqa: E731 - closure for lbfgs
+
+        if "decoder" in groups:
+            params, _ = groups["decoder"].step(params, value_fn)
+        else:
+            upd, opt_state["decoder"] = dual.decoder_tx.update(
+                grads, opt_state["decoder"], params
+            )
+            params = optax.apply_updates(params, upd)
+
+        if encoder_on:
+            if "encoder" in groups:
+                params, _ = groups["encoder"].step(params, value_fn)
+            else:
+                upd, opt_state["encoder"] = dual.encoder_tx.update(
+                    grads, opt_state["encoder"], params
+                )
+                params = optax.apply_updates(params, upd)
+
+        return StepOutput(params, new_state, opt_state, loss, lstm_norm)
+
+    return train_step

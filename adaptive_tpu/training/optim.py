@@ -62,8 +62,10 @@ def make_group_optimizer(kind: str, cfg_prefix: str, cf) -> optax.GradientTransf
         )
         lr0 = knob("sgd_learning_rate")
     elif opt_name == "lbfgs":
-        # optax.lbfgs holds memory internally; closure-style multi-iter steps
-        # are driven by training/step.py's lbfgs path.
+        # Placeholder transform only: when a group is 'lbfgs' the train loop
+        # routes through training/lbfgs.py:make_lbfgs_train_step (closure
+        # semantics); this optax state is carried but not stepped. Note the
+        # plateau scheduler does not adjust L-BFGS lr (unlike torch).
         base = lambda learning_rate: optax.lbfgs(
             learning_rate=learning_rate, memory_size=knob("lbfgs_history")
         )

@@ -79,13 +79,47 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
         threshold=0.02, min_lr=1e-7,
     )  # train.py:59-60
 
-    train_step = make_train_step(model, dual, cf)
+    train_epoch_loss = 100.0  # initial value for the scheduler (train.py:80)
+
+    # Full resume: optimizer moments + LR-scheduler progress from the
+    # checkpoint (the reference resumes weights only — a deficiency its
+    # author flagged, for_wzn:15-17).
+    if cf.train_pretrained and cf.train_pretrained_model:
+        ckpt_dir = cf.train_pretrained_model
+        if os.path.exists(os.path.join(ckpt_dir, "opt.npz")):
+            opt_state = ckpt.restore_opt_state(ckpt_dir, opt_state)
+            print("resumed optimizer state from", ckpt_dir)
+        meta = {}
+        if os.path.exists(os.path.join(ckpt_dir, "manifest.json")):
+            meta = ckpt.load_metadata(ckpt_dir)
+        for sched, key_ in ((decoder_sched, "decoder_sched"), (encoder_sched, "encoder_sched")):
+            if key_ in meta:
+                sched.lr = meta[key_]["lr"]
+                sched.best = meta[key_]["best"]
+                sched.num_bad_epochs = meta[key_]["num_bad_epochs"]
+        train_epoch_loss = meta.get("train_epoch_loss", train_epoch_loss)
+
+    if dual.decoder_is_lbfgs or dual.encoder_is_lbfgs:
+        from adaptive_tpu.training.lbfgs import make_lbfgs_train_step
+
+        train_step = make_lbfgs_train_step(model, dual, cf)
+    else:
+        train_step = make_train_step(model, dual, cf)
+
+    # one shared eval decoder: re-creating it per epoch would recompile the
+    # encoder+decode XLA program twice per epoch
+    eval_decoder = None
+    if cf.train_evalOrnot:
+        from adaptive_tpu.decoding import make_beam_decoder, make_greedy_decoder
+
+        eval_decoder = (
+            make_beam_decoder(model, cf) if cf.beam_size > 1 else make_greedy_decoder(model, cf)
+        )
 
     total_step = len(loader)
     cider_scores, cider_scores_train_eval = [], []
     best_cider, best_epoch = 0.0, 0
     train_epoch_losses = []
-    train_epoch_loss = 100.0  # initial value for the scheduler (train.py:80)
     global_n_iter = 0
     encoder_opt_flag = False
 
@@ -106,10 +140,12 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
             print("learning rate of Encoder is:", new_elr)
             writer.add_scalars("learning_rate_per_epoch", {"encoder": new_elr}, epoch)
 
-        batch_losses = []  # device scalars; fetched lazily to avoid per-step syncs
         from adaptive_tpu.data.loader import device_prefetch
         from adaptive_tpu.parallel.mesh import data_sharding
 
+        # on-device loss accumulator: one scalar fetch per epoch, not per step
+        loss_sum = None
+        n_steps = 0
         batches = device_prefetch(
             iter(loader), size=2, sharding=data_sharding(mesh) if mesh is not None else None
         )
@@ -117,7 +153,8 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
             rng, step_key = jax.random.split(rng)
             out = train_step(params, state, opt_state, batch, step_key, encoder_opt_flag)
             params, state, opt_state = out.params, out.model_state, out.opt_state
-            batch_losses.append(out.loss)
+            loss_sum = out.loss if loss_sum is None else loss_sum + out.loss
+            n_steps += 1
 
             if i % cf.train_log_step == 0:  # train.py:120-125
                 loss = float(out.loss)  # sync only on log steps
@@ -136,8 +173,8 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
                     )
             global_n_iter += 1
 
-        if batch_losses:
-            train_epoch_loss = float(np.mean([float(l) for l in batch_losses]))
+        if n_steps:
+            train_epoch_loss = float(loss_sum) / n_steps
         writer.add_scalar("loss-performance/train loss per epoch", train_epoch_loss, epoch)
         print("Train Loss: epoch", epoch, train_epoch_loss)
         train_epoch_losses.append(train_epoch_loss)
@@ -149,13 +186,16 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
             from adaptive_tpu.evalcap.coco_eval import coco_eval
 
             cider_train_eval = coco_eval(
-                cf, model, params, state, epoch=epoch, train_mode=True, vocab=vocab
+                cf, model, params, state, epoch=epoch, train_mode=True, vocab=vocab,
+                decoder=eval_decoder,
             )
             cider_scores_train_eval.append(cider_train_eval)
             print("#---printing train_eval cider_scores---#")
             print(cider_scores_train_eval)
 
-            cider = coco_eval(cf, model, params, state, epoch=epoch, vocab=vocab)
+            cider = coco_eval(
+                cf, model, params, state, epoch=epoch, vocab=vocab, decoder=eval_decoder
+            )
             cider_scores.append(cider)
             print("#---printing validation cider_scores---#")
             print(cider_scores)
@@ -182,6 +222,8 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
                 "cider": cider,
                 "train_epoch_loss": train_epoch_loss,
                 "model": cf.atten_model_name,
+                "decoder_sched": vars_of(decoder_sched),
+                "encoder_sched": vars_of(encoder_sched),
             },
         )
         final_params, final_state = params, state
@@ -190,6 +232,10 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
     print("Model of best epoch #: %d with CIDEr score %.2f" % (best_epoch, best_cider))
     figure_loss(cf, train_epoch_losses)
     return final_params, final_state, best_cider, best_epoch
+
+
+def vars_of(sched: ReduceLROnPlateau) -> dict:
+    return {"lr": sched.lr, "best": sched.best, "num_bad_epochs": sched.num_bad_epochs}
 
 
 def figure_loss(cf, train_losses):

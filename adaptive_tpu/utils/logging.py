@@ -57,14 +57,24 @@ class MetricWriter:
             + "\n"
         )
 
-    def add_param_histograms(self, params, step: int, skip_substr: str = "resnet"):
-        """Weight histograms for non-resnet params (train.py:129-131 parity)."""
+    def add_param_histograms(self, params, step: int, skip_substr: str = "resnet",
+                             max_elems: int = 65536):
+        """Weight histograms for non-resnet params (train.py:129-131 parity).
+
+        Large tensors (embedding, vocab head) are strided-subsampled to
+        `max_elems` so a dump costs a bounded device->host transfer (this
+        rig's tunnel downloads at ~3 MB/s; full tensors would stall training
+        for seconds per dump)."""
         import jax
 
         for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
             name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
             if skip_substr and skip_substr in name:
                 continue
+            n = int(np.prod(leaf.shape)) if leaf.shape else 1
+            if n > max_elems:
+                stride = -(-n // max_elems)
+                leaf = leaf.reshape(-1)[::stride]
             self.add_histogram("Weights_" + name, np.asarray(leaf), step)
 
     def flush(self):

@@ -1,0 +1,135 @@
+"""Review-driven regression tests: lbfgs config actually trains; resume
+restores optimizer/scheduler state; pretrained-npz + checkpoint ordering."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adaptive_tpu.models.factory import build_model, get_model
+from adaptive_tpu.training.optim import get_lr, make_dual_optimizer
+
+
+def _batch(cf, B=4, T=6, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "images": rng.integers(0, 255, (B, cf.resized_image_size, cf.resized_image_size, 3), dtype=np.uint8),
+        "captions": rng.integers(1, cf.vocab_length, (B, T)).astype(np.int32),
+        "lengths": np.full((B,), T, np.int32),
+    }
+
+
+def test_lbfgs_group_train_step_runs_and_descends(tiny_cf):
+    """opt_rnn_optimization='lbfgs' must train (was: TypeError at first step)."""
+    from adaptive_tpu.training.lbfgs import make_lbfgs_train_step
+
+    cf = tiny_cf.replace(opt_rnn_optimization="lbfgs", opt_rnn_lbfgs_max_iter=3,
+                         opt_fine_tune_cnn_start_epoch=0)
+    model = build_model(cf)
+    params, state = model.init(jax.random.PRNGKey(0))
+    dual, opt_state = make_dual_optimizer(params, cf)
+    assert dual.decoder_is_lbfgs and not dual.encoder_is_lbfgs
+    step = make_lbfgs_train_step(model, dual, cf)
+    batch = _batch(cf)
+    key = jax.random.PRNGKey(1)
+    out1 = step(params, state, opt_state, batch, key, True)
+    out2 = step(out1.params, out1.model_state, out1.opt_state, batch, key, True)
+    assert np.isfinite(float(out1.loss)) and np.isfinite(float(out2.loss))
+    assert float(out2.loss) < float(out1.loss)  # same batch: must descend
+
+
+def test_lbfgs_encoder_group_runs(tiny_cf):
+    from adaptive_tpu.training.lbfgs import make_lbfgs_train_step
+
+    cf = tiny_cf.replace(opt_cnn_optimization="lbfgs", opt_cnn_lbfgs_max_iter=2)
+    model = build_model(cf)
+    params, state = model.init(jax.random.PRNGKey(0))
+    dual, opt_state = make_dual_optimizer(params, cf)
+    step = make_lbfgs_train_step(model, dual, cf)
+    out = step(params, state, opt_state, _batch(cf), jax.random.PRNGKey(1), True)
+    assert np.isfinite(float(out.loss))
+    # encoder lbfgs updated only finetune layers; decoder adam updated decoder
+    assert not np.allclose(np.asarray(out.params["decoder"]["embed"]),
+                           np.asarray(params["decoder"]["embed"]))
+
+
+def test_resume_restores_optimizer_and_scheduler(tmp_path, tiny_cf, monkeypatch):
+    """main_train resumed from a checkpoint must pick up optimizer moments,
+    scheduler lr/best, and last epoch loss (the reference loses all of these)."""
+    from adaptive_tpu.data.synthetic import make_synthetic_dataset
+    from adaptive_tpu.data.coco_api import COCO
+    from adaptive_tpu.data.vocab import build_vocab
+    from adaptive_tpu.training import main_train
+
+    ann, resized = make_synthetic_dataset(str(tmp_path), num_images=8, image_size=72, seed=0)
+    coco = COCO(ann)
+    vocab = build_vocab((a["caption"] for a in coco.anns.values()), threshold=1)
+    vocab_path = os.path.join(str(tmp_path), "vocab.json")
+    vocab.save(vocab_path)
+    cf = tiny_cf.replace(
+        vocab_path=vocab_path, vocab_length=len(vocab), resized_image_dir=resized,
+        train_anno_path=ann, val_anno_path=ann, train_eval_anno_path=ann,
+        exp_dir=str(tmp_path / "exp"), train_num_epochs=2, train_batch_size=4,
+        train_evalOrnot=False, dataloader_num_workers=2, train_log_step=100,
+        train_tb_interval_batches=10000,
+    )
+    os.makedirs(cf.exp_dir, exist_ok=True)
+    main_train(cf)
+    ckpts = sorted(os.listdir(os.path.join(cf.exp_dir, "trained_models")))
+    ckpt_dir = os.path.join(cf.exp_dir, "trained_models", [c for c in ckpts if "model-2" in c][0])
+
+    meta = json.load(open(os.path.join(ckpt_dir, "manifest.json")))
+    assert "decoder_sched" in meta and meta["train_epoch_loss"] < 100
+
+    # resume: scheduler + optimizer state must come back
+    cf2 = cf.replace(train_pretrained=True, train_pretrained_model=ckpt_dir,
+                     train_num_epochs=3, exp_dir=str(tmp_path / "exp2"))
+    os.makedirs(cf2.exp_dir, exist_ok=True)
+
+    seen = {}
+    from adaptive_tpu.training import train_loop as tl
+    orig = tl.ckpt.restore_opt_state
+
+    def spy(path, template):
+        out = orig(path, template)
+        seen["lr"] = get_lr(out, "decoder")
+        return out
+
+    monkeypatch.setattr(tl.ckpt, "restore_opt_state", spy)
+    main_train(cf2)
+    assert "lr" in seen, "resume must restore optimizer state"
+
+
+def test_pretrained_npz_applied_before_checkpoint(tmp_path, tiny_cf):
+    """encoder_pretrained_npz must be the base; a checkpoint restores over it."""
+    from adaptive_tpu.models.torch_import import save_resnet_npz
+    from adaptive_tpu.training import checkpoint as ckpt
+    from tests.test_torch_import import BasicBlock, TorchResNet
+
+    tm = TorchResNet(BasicBlock, (2, 2, 2, 2))
+    npz = str(tmp_path / "imagenet.npz")
+    save_resnet_npz(tm.state_dict(), "resnet18", npz)
+
+    cf = tiny_cf
+    model = build_model(cf)
+    params, state = model.init(jax.random.PRNGKey(0))
+    # fabricate a "fine-tuned" checkpoint: conv1 = 7.0 everywhere
+    tuned = jax.tree.map(jnp.copy, params)
+    tuned["encoder"]["resnet"]["conv1"]["kernel"] = (
+        jnp.ones_like(tuned["encoder"]["resnet"]["conv1"]["kernel"]) * 7.0
+    )
+    ckpt_dir = str(tmp_path / "cider-0.5000_model-3")
+    ckpt.save_checkpoint(ckpt_dir, tuned, state)
+
+    cf2 = cf.replace(encoder_pretrained_npz=npz, train_pretrained=True,
+                     train_pretrained_model=ckpt_dir)
+    _, p2, _, start_epoch = get_model(cf2)
+    assert start_epoch == 4
+    # the checkpoint's fine-tuned conv1 must win over the ImageNet npz
+    np.testing.assert_array_equal(
+        np.asarray(p2["encoder"]["resnet"]["conv1"]["kernel"]),
+        np.asarray(tuned["encoder"]["resnet"]["conv1"]["kernel"]),
+    )
