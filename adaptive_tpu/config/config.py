@@ -135,6 +135,10 @@ class Config:
     compute_dtype: str = "float32"        # float32|bfloat16 for activations
     param_dtype: str = "float32"
     use_pallas: str = "auto"              # auto|always|never — fused TPU kernels
+    # Inference-only encoder quantization: 'int8' runs BN-folded convs on the
+    # int8 MXU with dynamic per-tensor activation / per-channel weight scales
+    # (post-training quantization; validate quality before production).
+    encoder_quant: str = "none"           # none|int8
     # Decode-time sentinel h_{t-1}: the reference sampler feeds h_{t-1}=0 at
     # every decode step (adaptive_attention.py:116-122 with seq_len==1). Keep
     # False for checkpoint-fidelity with the reference; True uses the true
@@ -244,3 +248,5 @@ def _validate(cf: Config):
         raise ValueError(f"compute_dtype={cf.compute_dtype!r}")
     if cf.use_pallas not in ("auto", "always", "never"):
         raise ValueError(f"use_pallas={cf.use_pallas!r}")
+    if cf.encoder_quant not in ("none", "int8"):
+        raise ValueError(f"encoder_quant={cf.encoder_quant!r} — must be none|int8")

@@ -32,6 +32,11 @@ class CaptionModel(NamedTuple):
     compute_dtype: Any
     use_pallas: bool = False
     remat_encoder: bool = False
+    encoder_quant: str = "none"  # none | int8 (PTQ, inference only)
+    # Calibrated {conv_name: float} input scales for int8 (host constants,
+    # baked into the jit). None -> dynamic per-batch scales. Produce with
+    # models.infer.calibrate_int8 and attach via model._replace(int8_scales=...).
+    int8_scales: Any = None
 
     # ------------------------------------------------------------------ init
     def init(self, key) -> Tuple[Dict, Dict]:
@@ -58,11 +63,13 @@ class CaptionModel(NamedTuple):
 
     def encode_inference(self, params, state, images):
         """BN-folded, dtype-cast encoder forward for the decode hot path
-        (models/infer.py). Same outputs as encode(train=False)."""
+        (models/infer.py). Same outputs as encode(train=False); optionally
+        int8-quantized convs (encoder_quant='int8')."""
         from adaptive_tpu.models.infer import encoder_apply_inference
 
         return encoder_apply_inference(
-            params["encoder"], state, images, self.arch, self.compute_dtype
+            params["encoder"], state, images, self.arch, self.compute_dtype,
+            quant=self.encoder_quant, scales=self.int8_scales,
         )
 
     def decoder_inference_params(self, params):
@@ -137,6 +144,7 @@ def build_model(cf) -> CaptionModel:
         compute_dtype=dtype,
         use_pallas=use_pallas,
         remat_encoder=cf.remat_encoder,
+        encoder_quant=getattr(cf, "encoder_quant", "none"),
     )
 
 

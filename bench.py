@@ -31,6 +31,7 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--beam", type=int, default=1)
     p.add_argument("--use-pallas", default="auto")
+    p.add_argument("--quant", default="none", help="encoder quantization: none|int8")
     p.add_argument("--profile-dir", default="", help="write a jax.profiler trace here")
     args = p.parse_args()
 
@@ -49,15 +50,27 @@ def main():
         eval_batch_size=args.batch,
         beam_size=args.beam,
         use_pallas=args.use_pallas,
+        encoder_quant=args.quant,
     )
     model = build_model(cf)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
-    decode = (
-        make_beam_decoder(model, cf) if args.beam > 1 else make_greedy_decoder(model, cf)
-    )
 
     images = jax.device_put(
         np.random.default_rng(0).integers(0, 255, (args.batch, 256, 256, 3), dtype=np.uint8)
+    )
+
+    if args.quant == "int8":
+        # static PTQ scales: calibrate once on a slice, bake as constants
+        from adaptive_tpu.models.infer import calibrate_int8
+        from adaptive_tpu.ops.preprocess import eval_preprocess
+
+        calib = eval_preprocess(images[: min(32, args.batch)], 224, jnp.float32)
+        model = model._replace(
+            int8_scales=calibrate_int8(params["encoder"], state, calib, args.backbone)
+        )
+
+    decode = (
+        make_beam_decoder(model, cf) if args.beam > 1 else make_greedy_decoder(model, cf)
     )
 
     @jax.jit

@@ -1,0 +1,93 @@
+"""Dynamic-int8 encoder inference: quantization error bounds + wiring."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adaptive_tpu.models import resnet as R
+from adaptive_tpu.models.factory import build_model
+from adaptive_tpu.models.infer import (_conv_i8, _quant_w, _quant_x, fold_resnet,
+                                       resnet_apply_folded, resnet_apply_folded_int8)
+
+
+def test_quantizers_roundtrip_bounds():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)), jnp.float32)
+    xq, sx = _quant_x(x)
+    err = np.abs(np.asarray(xq, np.float32) * float(sx) - np.asarray(x))
+    assert err.max() <= float(sx) / 2 + 1e-6  # half-ulp rounding bound
+
+    w = jnp.asarray(rng.normal(size=(3, 3, 16, 32)), jnp.float32)
+    wq, sw = _quant_w(w)
+    deq = np.asarray(wq, np.float32) * np.asarray(sw)[None, None, None, :]
+    err = np.abs(deq - np.asarray(w))
+    assert (err.max(axis=(0, 1, 2)) <= np.asarray(sw) / 2 + 1e-6).all()
+
+
+def test_single_conv_int8_close_to_fp32():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 12, 12, 16)), jnp.float32)
+    p = {"kernel": jnp.asarray(rng.normal(size=(3, 3, 16, 32)), jnp.float32) * 0.1,
+         "bias": jnp.asarray(rng.normal(size=(32,)), jnp.float32)}
+    want = jax.lax.conv_general_dilated(
+        x, p["kernel"], (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["bias"]
+    got = _conv_i8(x, p, out_dtype=jnp.float32)
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 0.02, rel  # ~1% relative error typical of int8 PTQ
+
+
+def test_int8_resnet_features_close_to_fp32():
+    params, state = R.init_resnet(jax.random.PRNGKey(0), "resnet18")
+    rng = np.random.default_rng(2)
+    state = jax.tree.map(lambda x: jnp.asarray(rng.uniform(0.8, 1.2, x.shape), jnp.float32), state)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    folded = fold_resnet(params, state, "resnet18")
+    want = resnet_apply_folded(folded, x, "resnet18")
+    got = resnet_apply_folded_int8(folded, x, "resnet18")
+    # relative feature error through the whole (random-init) stack
+    rel = float(jnp.linalg.norm(got - want) / (jnp.linalg.norm(want) + 1e-9))
+    assert rel < 0.25, rel  # loose bound: random nets amplify; real nets are tamer
+
+
+def test_static_scales_match_dynamic(tiny_cf):
+    """Calibrated static scales (on the same batch) must track the dynamic
+    path closely — the batch max IS the calibration max here."""
+    from adaptive_tpu.models.infer import calibrate_int8
+
+    params, state = R.init_resnet(jax.random.PRNGKey(3), "resnet18")
+    rng = np.random.default_rng(3)
+    bn_state = jax.tree.map(lambda x: jnp.asarray(rng.uniform(0.8, 1.2, x.shape), jnp.float32), state)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    enc = {"resnet": params}
+    full_state = {"resnet": bn_state}
+    scales = calibrate_int8(enc, full_state, x, "resnet18")
+    assert len(scales) > 15 and all(s > 0 for s in scales.values())
+    folded = fold_resnet(params, bn_state, "resnet18")
+    dyn = resnet_apply_folded_int8(folded, x, "resnet18")
+    sta = resnet_apply_folded_int8(folded, x, "resnet18", scales)
+    rel = float(jnp.linalg.norm(sta - dyn) / (jnp.linalg.norm(dyn) + 1e-9))
+    assert rel < 0.05, rel
+
+
+def test_int8_greedy_decode_runs(tiny_cf):
+    from adaptive_tpu.decoding import make_greedy_decoder
+
+    cf = tiny_cf.replace(encoder_quant="int8")
+    model = build_model(cf)
+    assert model.encoder_quant == "int8"
+    params, state = model.init(jax.random.PRNGKey(0))
+    decode = make_greedy_decoder(model, cf)
+    imgs = np.random.default_rng(0).integers(0, 255, (2, 72, 72, 3), dtype=np.uint8)
+    out = decode(params, state, imgs)
+    assert np.isfinite(np.asarray(out.beta)).all()
+    assert out.ids.shape == (2, cf.decode_max_len)
+
+
+def test_config_validates_quant():
+    from adaptive_tpu.config import load_config
+
+    with pytest.raises(ValueError):
+        load_config(None, encoder_quant="fp4")
