@@ -128,12 +128,19 @@ def _conv(x, kernel, stride=1):
 
 
 def _bn(x, p, s, train: bool):
-    """BatchNorm2d. Returns (y, new_state). Stats math in fp32."""
+    """BatchNorm2d. Returns (y, new_state). Stats math in fp32.
+
+    Train-mode moments use the single-read two-moment form (E[x], E[x^2]) so
+    XLA emits one multi-output reduce over the activation instead of separate
+    mean and variance passes — BN stats were ~25% of the train step's device
+    time with jnp.mean+jnp.var."""
     if train:
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(0, 1, 2))
-        var = jnp.var(xf, axis=(0, 1, 2))
         n = xf.shape[0] * xf.shape[1] * xf.shape[2]
+        s1 = jnp.sum(xf, axis=(0, 1, 2))
+        s2 = jnp.sum(xf * xf, axis=(0, 1, 2))
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
         # torch tracks *unbiased* running var
         unbiased = var * n / max(n - 1, 1)
         new_s = {
