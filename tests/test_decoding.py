@@ -102,6 +102,20 @@ def test_beam_not_worse_than_greedy(setup):
     assert (b_lp >= g_lp - 1e-3).all(), (b_lp, g_lp)
 
 
+@pytest.mark.parametrize("variant", ["baseline_attention", "adaptive_attention", "rnn_attention"])
+def test_greedy_decode_all_variants(tiny_cf, variant):
+    """The scan decoder must compile+run for every model family (the rnn
+    variant nests an inner slot-LSTM scan inside the decode step)."""
+    cf = tiny_cf.replace(atten_model_name=variant, decode_max_len=4)
+    model = build_model(cf)
+    params, state = model.init(jax.random.PRNGKey(1))
+    decode = make_greedy_decoder(model, cf)
+    imgs = np.random.default_rng(1).integers(0, 255, (2, 72, 72, 3), dtype=np.uint8)
+    out = decode(params, state, imgs)
+    assert out.ids.shape == (2, 4)
+    assert np.isfinite(np.asarray(out.attention)).all()
+
+
 def test_beam_finished_beams_stay_frozen(setup):
     cf, model, params, state, images = setup
     beam = make_beam_decoder(model, cf, beam_size=3)
