@@ -125,10 +125,11 @@ def make_lbfgs_train_step(model, dual, cf):
         grads, lstm_norm = clip_lstm_grads(grads, cf.train_lstm_maxnormal)
         value_fn = lambda p: loss_fn(p, state)[0]  # noqa: E731 - closure for lbfgs
 
+        new_opt = dict(opt_state)
         if "decoder" in groups:
             params, _ = groups["decoder"].step(params, value_fn)
         else:
-            upd, opt_state["decoder"] = dual.decoder_tx.update(
+            upd, new_opt["decoder"] = dual.decoder_tx.update(
                 grads, opt_state["decoder"], params
             )
             params = optax.apply_updates(params, upd)
@@ -137,11 +138,11 @@ def make_lbfgs_train_step(model, dual, cf):
             if "encoder" in groups:
                 params, _ = groups["encoder"].step(params, value_fn)
             else:
-                upd, opt_state["encoder"] = dual.encoder_tx.update(
+                upd, new_opt["encoder"] = dual.encoder_tx.update(
                     grads, opt_state["encoder"], params
                 )
                 params = optax.apply_updates(params, upd)
 
-        return StepOutput(params, new_state, opt_state, loss, lstm_norm)
+        return StepOutput(params, new_state, new_opt, loss, lstm_norm)
 
     return train_step
