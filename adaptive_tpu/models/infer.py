@@ -65,41 +65,62 @@ def _conv_b(x, p, stride=1):
     return y + p["bias"].astype(x.dtype)
 
 
-def resnet_apply_folded(folded: Dict, x: jnp.ndarray, arch: str) -> jnp.ndarray:
-    """BN-free inference forward; equals resnet_apply(train=False)."""
+def _folded_forward(folded: Dict, x: jnp.ndarray, arch: str, conv_fn) -> jnp.ndarray:
+    """Single traversal shared by the fp, int8, and calibration forwards.
+
+    conv_fn(name, x, params, stride, pad) -> conv output (pre-activation).
+    Names follow torchvision ('conv1', 'layerL.B.convN', 'layerL.B.downsample').
+    """
     block_type, stages = R.RESNET_SPECS[arch]
-    y = jax.lax.conv_general_dilated(
-        x, folded["conv1"]["kernel"].astype(x.dtype), (2, 2), [(3, 3), (3, 3)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + folded["conv1"]["bias"].astype(x.dtype)
-    y = jax.nn.relu(y)
+    y = jax.nn.relu(conv_fn("conv1", x, folded["conv1"], 2, [(3, 3), (3, 3)]))
     y = jax.lax.reduce_window(
         y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)]
     )
     for li, n_blocks in enumerate(stages):
         for bi in range(n_blocks):
             p = folded[f"layer{li+1}"][bi]
+            nm = f"layer{li+1}.{bi}"
             stride = 2 if (li > 0 and bi == 0) else 1
             if block_type == "bottleneck":
-                z = jax.nn.relu(_conv_b(y, p["conv1"]))
-                z = jax.nn.relu(_conv_b(z, p["conv2"], stride))
-                z = _conv_b(z, p["conv3"])
+                z = jax.nn.relu(conv_fn(f"{nm}.conv1", y, p["conv1"], 1, None))
+                z = jax.nn.relu(conv_fn(f"{nm}.conv2", z, p["conv2"], stride, None))
+                z = conv_fn(f"{nm}.conv3", z, p["conv3"], 1, None)
             else:
-                z = jax.nn.relu(_conv_b(y, p["conv1"], stride))
-                z = _conv_b(z, p["conv2"])
-            sc = _conv_b(y, p["downsample"], stride) if "downsample" in p else y
+                z = jax.nn.relu(conv_fn(f"{nm}.conv1", y, p["conv1"], stride, None))
+                z = conv_fn(f"{nm}.conv2", z, p["conv2"], 1, None)
+            sc = (
+                conv_fn(f"{nm}.downsample", y, p["downsample"], stride, None)
+                if "downsample" in p
+                else y
+            )
             y = jax.nn.relu(z + sc)
     return y
 
 
+def _plain_conv(name, x, p, stride, pad):
+    if pad is not None:
+        k = p["kernel"]
+        return jax.lax.conv_general_dilated(
+            x, k.astype(x.dtype), (stride, stride), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + p["bias"].astype(x.dtype)
+    return _conv_b(x, p, stride)
+
+
+def resnet_apply_folded(folded: Dict, x: jnp.ndarray, arch: str) -> jnp.ndarray:
+    """BN-free inference forward; equals resnet_apply(train=False)."""
+    return _folded_forward(folded, x, arch, _plain_conv)
+
+
 # ------------------------------------------------------------- int8 path
-# Dynamic symmetric quantization: per-output-channel int8 weights, per-tensor
-# int8 activations (scale from the live batch max). v5e's int8 MXU runs ~1.4x
-# bf16 for the compute-bound mid layers; the extra quantize pass is one
-# VPU read+write of the activation. Accumulation in int32, rescale + bias +
-# relu in fp32/bf16 between convs. Opt-in serving mode (encoder_quant='int8');
-# expected sub-1% quality delta typical of PTQ ResNets — validate on real
-# data before production use.
+# Symmetric PTQ: per-output-channel int8 weights, per-tensor int8 activations.
+# v5e's int8 MXU runs ~1.4x bf16 for the compute-bound mid layers. With static
+# calibrated activation scales the quantize is pure elementwise (fuses into
+# the previous epilogue): measured 6457 vs 5519 captions/s e2e. Dynamic
+# per-batch scales cost a full-tensor max reduce per conv and are a net LOSS
+# (4265 captions/s) -- kept only as the zero-calibration fallback. int32
+# accumulation, fp32 rescale + bias between convs. Opt-in serving mode
+# (encoder_quant='int8'); validate quality on real data before production.
 
 def _quant_w(kernel: jnp.ndarray):
     """Per-output-channel symmetric int8: returns (w_i8 HWIO, scale [cout])."""
@@ -131,23 +152,8 @@ def _conv_i8(x, p, stride=1, out_dtype=jnp.bfloat16, x_scale=None, pad=None):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-    y = acc.astype(jnp.float32) * (sx * sw)[None, None, None, :] + p["bias"]
+    y = acc.astype(jnp.float32) * (sx * sw)[None, None, None, :] + p["bias"].astype(jnp.float32)
     return y.astype(out_dtype)
-
-
-def _int8_layers(folded: Dict, arch: str):
-    """Yield (name, params, stride, pad) for every conv in forward order."""
-    block_type, stages = R.RESNET_SPECS[arch]
-    yield "conv1", folded["conv1"], 2, [(3, 3), (3, 3)]
-    n_convs = 3 if block_type == "bottleneck" else 2
-    for li, n_blocks in enumerate(stages):
-        for bi in range(n_blocks):
-            p = folded[f"layer{li+1}"][bi]
-            stride = 2 if (li > 0 and bi == 0) else 1
-            for ci in range(1, n_convs + 1):
-                yield f"layer{li+1}.{bi}.conv{ci}", p[f"conv{ci}"], stride, None
-            if "downsample" in p:
-                yield f"layer{li+1}.{bi}.downsample", p["downsample"], stride, None
 
 
 def resnet_apply_folded_int8(
@@ -156,36 +162,26 @@ def resnet_apply_folded_int8(
     """BN-folded int8-conv inference forward.
 
     scales: optional {conv_name: float} calibrated per-conv input scales
-    (see calibrate_int8). With static scales, quantization is elementwise and
-    fuses; without, each conv pays a dynamic full-tensor max reduce.
+    (see calibrate_int8); validated to cover every conv of `arch` so a stale
+    or mismatched calibration fails loudly instead of silently falling back
+    to the slow dynamic path. scales=None -> fully dynamic.
     """
-    block_type, stages = R.RESNET_SPECS[arch]
     dt = x.dtype
-    s = (scales or {}).get
-    y = jax.nn.relu(
-        _conv_i8(x, folded["conv1"], 2, dt, s("conv1"), [(3, 3), (3, 3)])
-    )
-    y = jax.lax.reduce_window(
-        y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)]
-    )
-    for li, n_blocks in enumerate(stages):
-        for bi in range(n_blocks):
-            p = folded[f"layer{li+1}"][bi]
-            nm = f"layer{li+1}.{bi}"
-            stride = 2 if (li > 0 and bi == 0) else 1
-            if block_type == "bottleneck":
-                z = jax.nn.relu(_conv_i8(y, p["conv1"], 1, dt, s(f"{nm}.conv1")))
-                z = jax.nn.relu(_conv_i8(z, p["conv2"], stride, dt, s(f"{nm}.conv2")))
-                z = _conv_i8(z, p["conv3"], 1, dt, s(f"{nm}.conv3"))
-            else:
-                z = jax.nn.relu(_conv_i8(y, p["conv1"], stride, dt, s(f"{nm}.conv1")))
-                z = _conv_i8(z, p["conv2"], 1, dt, s(f"{nm}.conv2"))
-            sc = (
-                _conv_i8(y, p["downsample"], stride, dt, s(f"{nm}.downsample"))
-                if "downsample" in p
-                else y
+    seen = []
+
+    def conv(name, xx, p, stride, pad):
+        seen.append(name)
+        s = None if scales is None else scales.get(name)
+        return _conv_i8(xx, p, stride, dt, s, pad)
+
+    y = _folded_forward(folded, x, arch, conv)
+    if scales is not None:
+        missing = [n for n in seen if n not in scales]
+        if missing:
+            raise ValueError(
+                f"int8 scales missing {len(missing)} convs for arch={arch} "
+                f"(e.g. {missing[:3]}); recalibrate with calibrate_int8"
             )
-            y = jax.nn.relu(z + sc)
     return y
 
 
@@ -195,49 +191,19 @@ def calibrate_int8(enc_params: Dict, state: Dict, images, arch: str) -> Dict[str
     max-abs; returns {conv_name: scale} for static int8 inference.
 
     Jitted as one program (a single compile; eager would dispatch ~150
-    separate conv compiles)."""
+    separate conv compiles). Uses the same traversal as the int8 forward, so
+    scale names always match."""
 
     @jax.jit
     def amaxes(enc_params, state, images):
         folded = fold_resnet(enc_params["resnet"], state["resnet"], arch)
         out: Dict[str, jnp.ndarray] = {}
 
-        def record(name, x):
-            out[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
-            return x
+        def conv(name, xx, p, stride, pad):
+            out[name] = jnp.max(jnp.abs(xx.astype(jnp.float32)))
+            return _plain_conv(name, xx, p, stride, pad)
 
-        block_type, stages = R.RESNET_SPECS[arch]
-        x = images.astype(jnp.float32)
-        record("conv1", x)
-        y = jax.nn.relu(
-            jax.lax.conv_general_dilated(
-                x, folded["conv1"]["kernel"], (2, 2), [(3, 3), (3, 3)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            + folded["conv1"]["bias"]
-        )
-        y = jax.lax.reduce_window(
-            y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-            [(0, 0), (1, 1), (1, 1), (0, 0)],
-        )
-        for li, n_blocks in enumerate(stages):
-            for bi in range(n_blocks):
-                p = folded[f"layer{li+1}"][bi]
-                nm = f"layer{li+1}.{bi}"
-                stride = 2 if (li > 0 and bi == 0) else 1
-                if block_type == "bottleneck":
-                    z = jax.nn.relu(_conv_b(record(f"{nm}.conv1", y), p["conv1"]))
-                    z = jax.nn.relu(_conv_b(record(f"{nm}.conv2", z), p["conv2"], stride))
-                    z = _conv_b(record(f"{nm}.conv3", z), p["conv3"])
-                else:
-                    z = jax.nn.relu(_conv_b(record(f"{nm}.conv1", y), p["conv1"], stride))
-                    z = _conv_b(record(f"{nm}.conv2", z), p["conv2"])
-                if "downsample" in p:
-                    record(f"{nm}.downsample", y)
-                    sc = _conv_b(y, p["downsample"], stride)
-                else:
-                    sc = y
-                y = jax.nn.relu(z + sc)
+        _folded_forward(folded, images.astype(jnp.float32), arch, conv)
         return out
 
     raw = jax.device_get(amaxes(enc_params, state, images))
@@ -253,11 +219,14 @@ def encoder_apply_inference(
     int8 convs (static scales if calibrated, else dynamic)."""
     from adaptive_tpu.ops import inits
 
-    folded = cast_floating(fold_resnet(enc_params["resnet"], state["resnet"], arch), dtype)
+    folded = fold_resnet(enc_params["resnet"], state["resnet"], arch)
     if quant == "int8":
+        # keep folded kernels fp32: quantization from bf16-rounded weights
+        # would diverge from the fp32-calibrated scales (and costs an extra
+        # full-weight cast pass)
         A = resnet_apply_folded_int8(folded, images.astype(dtype), arch, scales)
     else:
-        A = resnet_apply_folded(folded, images.astype(dtype), arch)
+        A = resnet_apply_folded(cast_floating(folded, dtype), images.astype(dtype), arch)
     B, Hf, Wf, C = A.shape
     A_flat = A.reshape(B, Hf * Wf, C)
     a_g = jnp.mean(A_flat.astype(jnp.float32), axis=1).astype(dtype)

@@ -137,10 +137,17 @@ def _bn(x, p, s, train: bool):
     if train:
         xf = x.astype(jnp.float32)
         n = xf.shape[0] * xf.shape[1] * xf.shape[2]
-        s1 = jnp.sum(xf, axis=(0, 1, 2))
-        s2 = jnp.sum(xf * xf, axis=(0, 1, 2))
-        mean = s1 / n
-        var = jnp.maximum(s2 / n - mean * mean, 0.0)
+        # Shifted two-moment form: shifting by the running mean keeps the
+        # E[x^2]-E[x]^2 cancellation harmless (the naive form loses all
+        # precision for |mean|/std >~ 1e3; shifted, the ratio is measured
+        # against the running mean, which tracks the batch mean closely).
+        shift = s["mean"]
+        xs = xf - shift
+        s1 = jnp.sum(xs, axis=(0, 1, 2))
+        s2 = jnp.sum(xs * xs, axis=(0, 1, 2))
+        dmean = s1 / n
+        mean = dmean + shift
+        var = jnp.maximum(s2 / n - dmean * dmean, 0.0)
         # torch tracks *unbiased* running var
         unbiased = var * n / max(n - 1, 1)
         new_s = {

@@ -38,11 +38,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from adaptive_tpu.config import Config
+    from adaptive_tpu.config import load_config
     from adaptive_tpu.decoding import make_beam_decoder, make_greedy_decoder
     from adaptive_tpu.models.factory import build_model
 
-    cf = Config(
+    cf = load_config(None,
         atten_model_name="adaptive_attention",
         encoder_backbone=args.backbone,
         vocab_length=10123,

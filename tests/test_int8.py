@@ -86,6 +86,34 @@ def test_int8_greedy_decode_runs(tiny_cf):
     assert out.ids.shape == (2, cf.decode_max_len)
 
 
+def test_mismatched_scales_fail_loudly(tiny_cf):
+    """Stale/mismatched calibration must raise, not silently fall back to the
+    slow dynamic path."""
+    params, state = R.init_resnet(jax.random.PRNGKey(0), "resnet18")
+    folded = fold_resnet(params, state, "resnet18")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    with pytest.raises(ValueError, match="recalibrate"):
+        resnet_apply_folded_int8(folded, x, "resnet18", scales={"conv1": 0.1})
+
+
+def test_bn_shifted_moments_numerics():
+    """Two-moment BN variance must survive large-mean/low-std channels when
+    the running mean tracks the batch mean (the shifted form; the naive
+    E[x^2]-E[x]^2 collapses to 0 here)."""
+    from adaptive_tpu.models.resnet import _bn
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(100.0 + 0.01 * rng.normal(size=(8, 16, 16, 4)), jnp.float32)
+    p = {"scale": jnp.ones(4), "bias": jnp.zeros(4)}
+    s = {"mean": jnp.full((4,), 100.0), "var": jnp.full((4,), 1e-4)}
+    y, new_s = _bn(x, p, s, train=True)
+    batch_var = np.var(np.asarray(x, np.float64), axis=(0, 1, 2))
+    got_var = (np.asarray(new_s["var"]) - 0.9 * 1e-4) / 0.1  # undo momentum mix
+    np.testing.assert_allclose(got_var, batch_var, rtol=2e-3)
+    # normalized output has ~unit std, not the blow-up of var=0
+    assert 0.9 < float(jnp.std(y.astype(jnp.float32))) < 1.1
+
+
 def test_config_validates_quant():
     from adaptive_tpu.config import load_config
 
