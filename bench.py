@@ -3,11 +3,16 @@
 
 Measures the headline metric from BASELINE.md — batched greedy decoding over
 COCO-shaped inputs: on-device preprocess (resize 256->224 + normalize) +
-BN-folded bf16 ResNet-152 encoder + 30-step fused-scan adaptive-attention
-decoder. Steady-state on-device throughput: inputs are device-resident and N
-dispatches queue back-to-back with one final sync, so the number reflects the
-framework/chip, not this test rig's host tunnel (whose ~65 MB/s upload path
-would otherwise dominate; production input pipelines overlap host IO).
+BN-folded int8-PTQ ResNet-152 encoder + 30-step fused-scan bf16
+adaptive-attention decoder. Steady-state on-device throughput: inputs are
+device-resident and N dispatches queue back-to-back with one final sync, so
+the number reflects the framework/chip, not this test rig's host tunnel
+(whose ~65 MB/s upload path would otherwise dominate; production input
+pipelines overlap host IO).
+
+The default is the fastest *quality-validated* config: int8 encoder PTQ is
+gated by tests/test_pipeline.py::test_int8_quality_gate (CIDEr delta < 0.01
+vs bf16 on a trained model). `--quant none` gives the exact-math bf16 mode.
 
 Prints ONE JSON line:
 {"metric": "captions_per_sec", "value": N, "unit": "captions/s", "vs_baseline": N/5000}
@@ -31,7 +36,7 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--beam", type=int, default=1)
     p.add_argument("--use-pallas", default="auto")
-    p.add_argument("--quant", default="none", help="encoder quantization: none|int8")
+    p.add_argument("--quant", default="int8", help="encoder quantization: none|int8")
     p.add_argument("--profile-dir", default="", help="write a jax.profiler trace here")
     args = p.parse_args()
 

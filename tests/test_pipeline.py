@@ -78,11 +78,19 @@ def test_eval_loader_pads_last_batch(synth):
     assert last["valid"].sum() == 2  # 8 images, batches of 3 -> 3,3,2
 
 
-def test_overfit_loss_decreases_and_e2e_eval(synth):
+@pytest.fixture(scope="module")
+def trained(synth):
+    """One shared overfit training run for the e2e and int8-gate tests."""
     cf, vocab, ann_path = synth
     from adaptive_tpu.training import main_train
 
     params, state, _, _ = main_train(cf)
+    return params, state
+
+
+def test_overfit_loss_decreases_and_e2e_eval(synth, trained):
+    cf, vocab, ann_path = synth
+    params, state = trained
 
     # loss must drop substantially over 3 epochs on 8 fixed samples
     scalars = [
@@ -106,3 +114,38 @@ def test_overfit_loss_decreases_and_e2e_eval(synth):
     assert np.isfinite(cider) and cider >= 0.0
     # results file written
     assert os.path.exists(os.path.join(cf.exp_dir, "val_results", "validation-3.json"))
+
+
+def test_int8_quality_gate(synth, trained):
+    """Quality gate for the int8 serving mode (VERDICT r1 #3): on a trained
+    model, decoding with the int8-calibrated encoder must move CIDEr by less
+    than 0.01 vs the default compute dtype. bench.py's default int8 config is
+    promoted on the strength of this gate."""
+    import jax.numpy as jnp
+
+    from adaptive_tpu.data.loader import EvalBatches, EvalImageDataset
+    from adaptive_tpu.evalcap.coco_eval import coco_eval
+    from adaptive_tpu.models.factory import build_model
+    from adaptive_tpu.models.infer import calibrate_int8
+    from adaptive_tpu.ops.preprocess import eval_preprocess
+
+    cf, vocab, ann_path = synth
+    params, state = trained
+
+    base_model = build_model(cf)
+    cider_base = coco_eval(cf, base_model, params, state, epoch=101, vocab=vocab)
+
+    # calibrate activation scales on the eval images themselves
+    ds = EvalImageDataset(cf.resized_image_dir, cf.val_anno_path)
+    batch = next(iter(EvalBatches(ds, 8, num_workers=1)))
+    calib = eval_preprocess(
+        jnp.asarray(batch["images"]), cf.train_crop_size, jnp.float32
+    )
+    cf8 = cf.replace(encoder_quant="int8")
+    model8 = build_model(cf8)
+    model8 = model8._replace(
+        int8_scales=calibrate_int8(params["encoder"], state, calib, cf.encoder_backbone)
+    )
+    cider_int8 = coco_eval(cf8, model8, params, state, epoch=102, vocab=vocab)
+
+    assert abs(cider_int8 - cider_base) < 0.01, (cider_base, cider_int8)
