@@ -250,3 +250,11 @@ def _validate(cf: Config):
         raise ValueError(f"use_pallas={cf.use_pallas!r}")
     if cf.encoder_quant not in ("none", "int8"):
         raise ValueError(f"encoder_quant={cf.encoder_quant!r} — must be none|int8")
+    if cf.rnn_attention_numlayers != 1:
+        # accepted-but-ignored knobs must fail loudly, not run silently wrong:
+        # only the 1-layer attention LSTM is implemented (ops/attention.py:91-121;
+        # the reference default is 1, rnn_attention.py:25)
+        raise NotImplementedError(
+            f"rnn_attention_numlayers={cf.rnn_attention_numlayers} — only 1 "
+            "layer is implemented"
+        )

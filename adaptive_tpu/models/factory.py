@@ -118,6 +118,13 @@ def init_decoder_tree(key, spec: D.DecoderSpec) -> Dict:
 def build_model(cf) -> CaptionModel:
     if cf.atten_model_name not in VARIANTS:
         raise ValueError(f"unknown atten_model_name {cf.atten_model_name!r}")
+    if cf.rnn_attention_numlayers != 1:
+        # never run an accepted-but-ignored knob silently wrong (only the
+        # 1-layer attention LSTM of rnn_attention.py:25 is implemented)
+        raise NotImplementedError(
+            f"rnn_attention_numlayers={cf.rnn_attention_numlayers} — only 1 "
+            "layer is implemented"
+        )
     num_slots = (cf.train_crop_size // 32) ** 2  # 49 at 224 (7x7 map)
     m = max(1, cf.vocab_pad_multiple)
     padded_vocab = ((cf.vocab_length + m - 1) // m) * m

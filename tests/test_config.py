@@ -46,3 +46,17 @@ def test_experiment_dir_and_log_tee(tmp_path, capsys):
     assert "Train_adaptive_attention" in cf2.exp_dir
     assert os.path.exists(os.path.join(cf2.exp_dir, "config.json"))
     exp.teardown()
+
+
+def test_unsupported_rnn_numlayers_rejected():
+    """Accepted-but-ignored knobs must raise (VERDICT r1 #10): >1 attention
+    LSTM layers is not implemented and must not run silently as 1 layer."""
+    import pytest
+
+    from adaptive_tpu.config import Config, load_config
+    from adaptive_tpu.models.factory import build_model
+
+    with pytest.raises(NotImplementedError):
+        load_config(None, atten_model_name="rnn_attention", rnn_attention_numlayers=2)
+    with pytest.raises(NotImplementedError):
+        build_model(Config(atten_model_name="rnn_attention", rnn_attention_numlayers=2))
