@@ -38,30 +38,46 @@ def combine(trainable: Any, frozen: Any) -> Any:
     )
 
 
-class LBFGSGroup:
-    """Closure-style L-BFGS over one masked param group."""
+def make_lbfgs_tx(lr: float, history: int) -> optax.GradientTransformation:
+    """The group's real L-BFGS transform. lr is read per step so the plateau
+    scheduler can rescale it (torch rescales any optimizer's lr,
+    train.py:57-60,184-194); the state structure is lr-independent."""
+    return optax.lbfgs(
+        learning_rate=lr,
+        memory_size=history,
+        linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=15),
+    )
 
-    def __init__(self, mask: Any, lr: float, max_iter: int, history: int):
+
+def init_lbfgs_entry(params: Any, mask: Any, lr: float, history: int) -> Any:
+    """Curvature-memory state over the masked trainable subset. Lives in the
+    opt_state dict (keys 'decoder_lbfgs'/'encoder_lbfgs') so checkpoint
+    save/restore round-trips it — an L-BFGS run resumes bit-identically."""
+    trainable, _ = partition(params, mask)
+    return make_lbfgs_tx(lr, history).init(trainable)
+
+
+class LBFGSGroup:
+    """Closure-style L-BFGS over one masked param group (stateless: the
+    curvature memory is passed in/out as `entry`)."""
+
+    def __init__(self, mask: Any, max_iter: int, history: int):
         self.mask = mask
         self.max_iter = max_iter
-        self.tx = optax.lbfgs(
-            learning_rate=lr,
-            memory_size=history,
-            linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=15),
-        )
-        self._opt_state = None
-        self._jit_run = None
+        self.history = history
 
-    def init(self, params: Any):
-        trainable, _ = partition(params, self.mask)
-        self._opt_state = self.tx.init(trainable)
-
-    def step(self, params: Any, loss_of_params: Callable[[Any], jnp.ndarray]) -> Tuple[Any, float]:
+    def step(
+        self,
+        params: Any,
+        loss_of_params: Callable[[Any], jnp.ndarray],
+        entry: Any,
+        lr: float,
+    ) -> Tuple[Any, Any, float]:
         """One torch-style optimizer.step(closure): up to max_iter L-BFGS
-        iterations on this batch. Returns (new full params, first loss)."""
+        iterations on this batch. Returns (new full params, new entry,
+        first loss)."""
         trainable, frozen = partition(params, self.mask)
-        if self._opt_state is None:
-            self._opt_state = self.tx.init(trainable)
+        tx = make_lbfgs_tx(lr, self.history)
 
         def value_fn(tr):
             return loss_of_params(combine(tr, frozen))
@@ -71,16 +87,16 @@ class LBFGSGroup:
         def body(carry, _):
             tr, st = carry
             v, g = value_and_grad(tr, state=st)
-            updates, st = self.tx.update(
+            updates, st = tx.update(
                 g, st, tr, value=v, grad=g, value_fn=value_fn
             )
             tr = optax.apply_updates(tr, updates)
             return (tr, st), v
 
-        (trainable, self._opt_state), values = jax.lax.scan(
-            body, (trainable, self._opt_state), None, length=self.max_iter
+        (trainable, entry), values = jax.lax.scan(
+            body, (trainable, entry), None, length=self.max_iter
         )
-        return combine(trainable, frozen), float(values[0])
+        return combine(trainable, frozen), entry, float(values[0])
 
 
 def make_lbfgs_train_step(model, dual, cf):
@@ -97,18 +113,17 @@ def make_lbfgs_train_step(model, dual, cf):
     import optax
 
     from adaptive_tpu.ops.preprocess import train_preprocess
+    from adaptive_tpu.training.optim import get_lr
     from adaptive_tpu.training.step import StepOutput, clip_lstm_grads, masked_ce_loss
 
     groups = {}
     if dual.decoder_is_lbfgs:
         groups["decoder"] = LBFGSGroup(
-            dual.decoder_mask, cf.opt_rnn_lbfgs_lr, cf.opt_rnn_lbfgs_max_iter,
-            cf.opt_rnn_lbfgs_history,
+            dual.decoder_mask, cf.opt_rnn_lbfgs_max_iter, cf.opt_rnn_lbfgs_history
         )
     if dual.encoder_is_lbfgs:
         groups["encoder"] = LBFGSGroup(
-            dual.encoder_mask, cf.opt_cnn_lbfgs_lr, cf.opt_cnn_lbfgs_max_iter,
-            cf.opt_cnn_lbfgs_history,
+            dual.encoder_mask, cf.opt_cnn_lbfgs_max_iter, cf.opt_cnn_lbfgs_history
         )
 
     def train_step(params, state, opt_state, batch, rng, encoder_on=False):
@@ -127,7 +142,9 @@ def make_lbfgs_train_step(model, dual, cf):
 
         new_opt = dict(opt_state)
         if "decoder" in groups:
-            params, _ = groups["decoder"].step(params, value_fn)
+            params, new_opt["decoder_lbfgs"], _ = groups["decoder"].step(
+                params, value_fn, opt_state["decoder_lbfgs"], get_lr(opt_state, "decoder")
+            )
         else:
             upd, new_opt["decoder"] = dual.decoder_tx.update(
                 grads, opt_state["decoder"], params
@@ -136,7 +153,9 @@ def make_lbfgs_train_step(model, dual, cf):
 
         if encoder_on:
             if "encoder" in groups:
-                params, _ = groups["encoder"].step(params, value_fn)
+                params, new_opt["encoder_lbfgs"], _ = groups["encoder"].step(
+                    params, value_fn, opt_state["encoder_lbfgs"], get_lr(opt_state, "encoder")
+                )
             else:
                 upd, new_opt["encoder"] = dual.encoder_tx.update(
                     grads, opt_state["encoder"], params

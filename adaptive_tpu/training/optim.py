@@ -62,10 +62,13 @@ def make_group_optimizer(kind: str, cfg_prefix: str, cf) -> optax.GradientTransf
         )
         lr0 = knob("sgd_learning_rate")
     elif opt_name == "lbfgs":
-        # Placeholder transform only: when a group is 'lbfgs' the train loop
-        # routes through training/lbfgs.py:make_lbfgs_train_step (closure
-        # semantics); this optax state is carried but not stepped. Note the
-        # plateau scheduler does not adjust L-BFGS lr (unlike torch).
+        # lr-carrier transform: when a group is 'lbfgs' the train loop routes
+        # through training/lbfgs.py:make_lbfgs_train_step (closure semantics),
+        # whose curvature memory lives under opt_state['<group>_lbfgs']. This
+        # inject_hyperparams state is never stepped but IS the group's
+        # scheduled learning rate: get_lr/set_lr target it, so the plateau
+        # scheduler rescales L-BFGS lrs exactly as torch does
+        # (train.py:57-60,184-194).
         base = lambda learning_rate: optax.lbfgs(
             learning_rate=learning_rate, memory_size=knob("lbfgs_history")
         )
@@ -133,6 +136,19 @@ def make_dual_optimizer(params: Dict, cf) -> Tuple[DualOptimizer, Dict]:
     dtx = _grouped(make_group_optimizer("rnn", "opt_rnn", cf), dmask)
     etx = _grouped(make_group_optimizer("cnn", "opt_cnn", cf), emask)
     opt_state = {"decoder": dtx.init(params), "encoder": etx.init(params)}
+    # L-BFGS curvature memory lives in opt_state so checkpoints round-trip it
+    if cf.opt_rnn_optimization == "lbfgs":
+        from adaptive_tpu.training.lbfgs import init_lbfgs_entry
+
+        opt_state["decoder_lbfgs"] = init_lbfgs_entry(
+            params, dmask, cf.opt_rnn_lbfgs_lr, cf.opt_rnn_lbfgs_history
+        )
+    if cf.opt_cnn_optimization == "lbfgs":
+        from adaptive_tpu.training.lbfgs import init_lbfgs_entry
+
+        opt_state["encoder_lbfgs"] = init_lbfgs_entry(
+            params, emask, cf.opt_cnn_lbfgs_lr, cf.opt_cnn_lbfgs_history
+        )
     dual = DualOptimizer(
         decoder_tx=dtx,
         encoder_tx=etx,

@@ -8,7 +8,8 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
-from adaptive_tpu.training.lbfgs import LBFGSGroup, combine, partition
+from adaptive_tpu.training.lbfgs import (LBFGSGroup, combine, init_lbfgs_entry,
+                                         partition)
 
 
 def test_partition_combine_roundtrip():
@@ -26,12 +27,13 @@ def test_quadratic_convergence():
     t = jnp.asarray([1.0, -2.0, 3.0])
     params = {"x": jnp.zeros(3), "frozen": jnp.ones(2)}
     mask = {"x": True, "frozen": False}
-    opt = LBFGSGroup(mask, lr=1.0, max_iter=20, history=10)
+    opt = LBFGSGroup(mask, max_iter=20, history=10)
+    entry = init_lbfgs_entry(params, mask, 1.0, 10)
 
     def loss(p):
         return jnp.sum((p["x"] - t) ** 2) + 0.0 * jnp.sum(p["frozen"])
 
-    new, first_loss = opt.step(params, loss)
+    new, entry, first_loss = opt.step(params, loss, entry, 1.0)
     assert first_loss == pytest.approx(14.0)
     np.testing.assert_allclose(np.asarray(new["x"]), np.asarray(t), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(new["frozen"]), np.ones(2))
@@ -56,13 +58,14 @@ def test_matches_torch_lbfgs_on_rosenbrock_start():
     want = rosen_np(tp.detach().numpy())
 
     params = {"x": jnp.asarray(x0)}
-    opt = LBFGSGroup({"x": True}, lr=0.5, max_iter=20, history=50)
+    opt = LBFGSGroup({"x": True}, max_iter=20, history=50)
+    entry = init_lbfgs_entry(params, {"x": True}, 0.5, 50)
 
     def loss(p):
         x = p["x"]
         return (1 - x[0]) ** 2 + 100 * (x[1] - x[0] ** 2) ** 2
 
-    new, _ = opt.step(params, loss)
+    new, entry, _ = opt.step(params, loss, entry, 0.5)
     got = rosen_np(np.asarray(new["x"]))
     # both should make strong progress from 24.2; exact linesearch paths differ
     assert got < 4.0 and want < 4.0

@@ -133,3 +133,60 @@ def test_pretrained_npz_applied_before_checkpoint(tmp_path, tiny_cf):
         np.asarray(p2["encoder"]["resnet"]["conv1"]["kernel"]),
         np.asarray(tuned["encoder"]["resnet"]["conv1"]["kernel"]),
     )
+
+
+def test_lbfgs_checkpoint_resume_bit_identical(tiny_cf, tmp_path):
+    """The L-BFGS curvature memory lives in opt_state['decoder_lbfgs'] and
+    round-trips through save/restore: a resumed run continues bit-identically
+    to an uninterrupted one (VERDICT r1 #5)."""
+    from adaptive_tpu.training import checkpoint as ckpt
+    from adaptive_tpu.training.lbfgs import make_lbfgs_train_step
+
+    cf = tiny_cf.replace(opt_rnn_optimization="lbfgs", opt_rnn_lbfgs_max_iter=2,
+                         opt_fine_tune_cnn_start_epoch=0)
+    model = build_model(cf)
+    params, state = model.init(jax.random.PRNGKey(0))
+    dual, opt_state = make_dual_optimizer(params, cf)
+    assert "decoder_lbfgs" in opt_state
+    step = make_lbfgs_train_step(model, dual, cf)
+    b1, b2 = _batch(cf, seed=0), _batch(cf, seed=1)
+    k1, k2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+
+    out1 = step(params, state, opt_state, b1, k1, True)
+    want = step(out1.params, out1.model_state, out1.opt_state, b2, k2, True)
+
+    d = str(tmp_path / "ck")
+    ckpt.save_checkpoint(d, out1.params, out1.model_state, out1.opt_state)
+    p2, s2 = ckpt.restore_model(d, params, state)
+    _, fresh_opt = make_dual_optimizer(params, cf)  # resume-time template
+    o2 = ckpt.restore_opt_state(d, fresh_opt)
+    got = step(p2, s2, o2, b2, k2, True)
+
+    for a, b in zip(jax.tree.leaves(want.params), jax.tree.leaves(got.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_plateau_scheduler_rescales_lbfgs_lr(tiny_cf):
+    """set_lr on an lbfgs group must change the actual update (torch's
+    ReduceLROnPlateau rescales any optimizer's lr, train.py:57-60,184-194):
+    lr=0 -> params unchanged."""
+    from adaptive_tpu.training.lbfgs import make_lbfgs_train_step
+    from adaptive_tpu.training.optim import set_lr
+
+    cf = tiny_cf.replace(opt_rnn_optimization="lbfgs", opt_rnn_lbfgs_max_iter=2,
+                         opt_fine_tune_cnn_start_epoch=10_000)
+    model = build_model(cf)
+    params, state = model.init(jax.random.PRNGKey(0))
+    dual, opt_state = make_dual_optimizer(params, cf)
+    step = make_lbfgs_train_step(model, dual, cf)
+    batch = _batch(cf)
+
+    out = step(params, state, opt_state, batch, jax.random.PRNGKey(1), False)
+    assert not np.allclose(np.asarray(out.params["decoder"]["embed"]),
+                           np.asarray(params["decoder"]["embed"]))
+
+    zeroed = set_lr(opt_state, "decoder", 0.0)
+    assert get_lr(zeroed, "decoder") == 0.0
+    out0 = step(params, state, zeroed, batch, jax.random.PRNGKey(1), False)
+    np.testing.assert_array_equal(np.asarray(out0.params["decoder"]["embed"]),
+                                  np.asarray(params["decoder"]["embed"]))
