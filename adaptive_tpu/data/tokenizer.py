@@ -38,11 +38,43 @@ def _fallback_tokenize(text: str) -> List[str]:
     return _WORD_RE.findall(text)
 
 
+# Sentence splitting before Treebank tokenization. NLTK's word_tokenize (the
+# reference's tokenizer, build_vocab.py:37) is sent_tokenize + Treebank per
+# sentence; the Treebank rules split only the LAST period of their input, so
+# without a splitter the internal sentence-final periods of multi-sentence
+# captions stay glued to words ("a man. a dog") — CoreNLP's PTBTokenizer
+# splits them. punkt data is unavailable; this clean-room splitter covers
+# caption-style text: split after ". " unless the preceding word is a known
+# abbreviation, a single initial, or contains an internal dot (acronym).
+_ABBREVS = {
+    "mr", "mrs", "ms", "dr", "st", "no", "vs", "jr", "sr", "etc", "inc",
+    "prof", "gen", "rep", "sen", "ft", "mt", "capt", "col", "lt", "sgt",
+    "ave", "blvd", "dept", "est", "fig", "hon", "misc", "sq",
+}
+
+
+def split_sentences(text: str) -> List[str]:
+    out, start = [], 0
+    for m in re.finditer(r"\.(?=\s|$)", text):
+        i = m.start()
+        j = i
+        while j > 0 and (text[j - 1].isalnum() or text[j - 1] in ".'"):
+            j -= 1
+        prev = text[j:i].lower()
+        if prev in _ABBREVS or (len(prev) == 1 and prev.isalpha()) or "." in prev:
+            continue
+        out.append(text[start:m.end()])
+        start = m.end()
+    out.append(text[start:])
+    return [s for s in (x.strip() for x in out) if s]
+
+
 def word_tokenize(text: str) -> List[str]:
-    """Treebank-style word tokenization (single-sentence assumption)."""
-    if _TREEBANK is not None:
-        return _TREEBANK.tokenize(text)
-    return _fallback_tokenize(text)
+    """Treebank-style word tokenization over clean-room sentence splits."""
+    toks: List[str] = []
+    for sent in split_sentences(text):
+        toks.extend(_TREEBANK.tokenize(sent) if _TREEBANK is not None else _fallback_tokenize(sent))
+    return toks
 
 
 def caption_tokenize(caption: str) -> List[str]:

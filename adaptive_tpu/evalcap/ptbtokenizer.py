@@ -22,8 +22,17 @@ PUNCTUATIONS = [
 ]
 _PUNCT_SET = set(PUNCTUATIONS)
 
-# CoreNLP ptb3Escaping maps brackets to PTB symbols (which are then dropped).
+# CoreNLP ptb3Escaping maps brackets to PTB symbols; the round (-LRB-/-RRB-)
+# and curly (-LCB-/-RCB-) escapes are in the drop list above, the square ones
+# (-LSB-/-RSB-) are NOT — they survive in the reference pipeline and here.
 _BRACKETS = {"(": "-LRB-", ")": "-RRB-", "{": "-LCB-", "}": "-RCB-", "[": "-LSB-", "]": "-RSB-"}
+
+# CoreNLP emits an opening single quote as its own ` token (dropped by the
+# list); NLTK's Treebank rules leave it glued to the next word ("'red").
+# Split it off here — except before clitic words PTB treats as contractions.
+import re
+
+_OPEN_SQUOTE = re.compile(r"(?<!\w)'(?=[A-Za-z])(?!(?:tis|twas|em|til|till|cause|n)\b)")
 
 
 class PTBTokenizer:
@@ -38,6 +47,8 @@ class PTBTokenizer:
 
 
 def tokenize_caption(caption: str) -> str:
-    toks = word_tokenize(str(caption).replace("\n", " ").lower())
+    text = str(caption).replace("\n", " ").lower()
+    text = _OPEN_SQUOTE.sub("' ", text)
+    toks = word_tokenize(text)
     toks = [_BRACKETS.get(t, t) for t in toks]
     return " ".join(t for t in toks if t not in _PUNCT_SET)
