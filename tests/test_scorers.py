@@ -77,7 +77,11 @@ def test_meteor_properties():
     s_same = sentence_meteor("a dog runs on the beach", "a dog runs on the beach")
     s_partial = sentence_meteor("a dog runs on the beach", "a cat runs in the park")
     s_none = sentence_meteor("x y z", "a b c")
-    assert 0.99 <= s_same <= 1.0
+    # Meteor 1.5's English rank params (gamma=0.6, beta=0.2) penalize even a
+    # perfect match by gamma*(1/m)^beta — identical 6-token sentences land
+    # near 0.577, not near 1.0 (matching the jar's observed score scale,
+    # e.g. human COCO captions around 0.25).
+    assert 0.55 <= s_same <= 0.62
     assert 0 < s_partial < s_same
     assert s_none == 0.0
 
@@ -112,3 +116,60 @@ def test_ptb_tokenizer_dict_protocol():
     caps = {7: [{"caption": "A Dog."}, {"caption": "Big dog!"}]}
     out = PTBTokenizer().tokenize(caps)
     assert out == {7: ["a dog", "big dog"]}
+
+
+def test_meteor_identical_matches_closed_form():
+    """Identical 6-word content sentence: P=R=fmean=1, chunks=1, m=6 ->
+    score = 1 - gamma*(1/6)^beta exactly (Meteor 1.5 has NO single-chunk
+    special case; the English rank params make even perfect matches ~0.57)."""
+    from adaptive_tpu.evalcap.meteor import BETA, GAMMA
+
+    got = sentence_meteor("dog runs beach sand waves splash",
+                          "dog runs beach sand waves splash")
+    want = 1.0 - GAMMA * (1.0 / 6.0) ** BETA
+    assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_meteor_beam_alignment_minimizes_chunks():
+    """hyp 'a b c' vs ref 'b a b c': leftmost-greedy maps a->r1, b->r0, c->r3
+    (3 chunks); Meteor's aligner picks a->r1, b->r2, c->r3 (1 chunk).
+    With m=3, th=tr mass equal, the score difference is purely the penalty."""
+    from adaptive_tpu.evalcap.meteor import _align, _chunks
+
+    matches = _align(["a", "b", "c"], ["b", "a", "b", "c"])
+    assert len(matches) == 3
+    assert _chunks(matches) == 1, matches
+
+
+def test_meteor_alignment_prefers_more_matches_over_fewer_chunks():
+    """Coverage beats contiguity in the comparator: aligning both tokens
+    (2 matches, 2 chunks) must beat one contiguous match."""
+    from adaptive_tpu.evalcap.meteor import _align
+
+    matches = _align(["x", "y"], ["y", "q", "x"])
+    assert len(matches) == 2
+
+
+def test_meteor_function_word_discounting():
+    """delta=0.75: matching a content word moves P/R more than matching a
+    function word of the same stage weight."""
+    content = sentence_meteor("dog barks", "dog sleeps")      # 'dog' is content
+    function = sentence_meteor("the barks", "the sleeps")     # 'the' is function
+    assert content > function
+
+
+def test_meteor_monotone_in_matches():
+    """Adding one more matched word (same fragmentation pattern) raises the
+    score; dropping all matches gives 0."""
+    s2 = sentence_meteor("red car parked", "red car stops")
+    s3 = sentence_meteor("red car parked", "red car parked")
+    assert s3 > s2 > 0.0
+    assert sentence_meteor("qq ww", "ee rr") == 0.0
+
+
+def test_meteor_stem_weighted_below_exact():
+    """A stem-stage match (weight 0.6) must score strictly below the same
+    sentence matched exactly (weight 1.0), same alignment shape."""
+    exact = sentence_meteor("dog runs", "dog runs")
+    stem = sentence_meteor("dog running", "dog runs")
+    assert exact > stem > 0.0
