@@ -2,10 +2,11 @@
 
 Reference parity: tensorboardX SummaryWriter usage (train.py:47-49,128-138,
 144,164,188,194 — scalar losses/LRs/CIDEr + weight/grad histograms) and the
-HMS wall-clock pretty printer (tools/utils.py:274-283). TensorBoard is not
-available in this environment; the writer emits newline-delimited JSON
-(scalars.jsonl / histograms.jsonl) which tensorboard-compatible tooling can
-ingest, with the same tag structure.
+HMS wall-clock pretty printer (tools/utils.py:274-283). MetricWriter emits
+real TensorBoard event files via tensorboardX (the reference's own library)
+so `tensorboard --logdir` plots a run's loss/CIDEr/LR curves and weight
+histograms, plus newline-delimited JSON (scalars.jsonl / histograms.jsonl)
+with the same tag structure as a grep-able fallback that needs no reader.
 """
 
 from __future__ import annotations
@@ -26,11 +27,19 @@ class MetricWriter:
         os.makedirs(logdir, exist_ok=True)
         self._scalars = open(os.path.join(logdir, "scalars.jsonl"), "a")
         self._hists = open(os.path.join(logdir, "histograms.jsonl"), "a")
+        try:  # real event files (train.py:47-49); JSONL still written below
+            from tensorboardX import SummaryWriter
+
+            self._tb = SummaryWriter(logdir=logdir)
+        except Exception:
+            self._tb = None
 
     def add_scalar(self, tag: str, value: float, step: int):
         self._scalars.write(
             json.dumps({"tag": tag, "value": float(value), "step": int(step), "ts": time.time()}) + "\n"
         )
+        if self._tb is not None:
+            self._tb.add_scalar(tag, float(value), int(step))
 
     def add_scalars(self, tag: str, values: Dict[str, float], step: int):
         for k, v in values.items():
@@ -41,6 +50,8 @@ class MetricWriter:
         if arr.size == 0:
             return
         counts, edges = np.histogram(arr, bins=bins)
+        if self._tb is not None:
+            self._tb.add_histogram(tag, arr, int(step), bins=bins)
         self._hists.write(
             json.dumps(
                 {
@@ -80,10 +91,14 @@ class MetricWriter:
     def flush(self):
         self._scalars.flush()
         self._hists.flush()
+        if self._tb is not None:
+            self._tb.flush()
 
     def close(self):
         self._scalars.close()
         self._hists.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def HMS(sec: float) -> str:
