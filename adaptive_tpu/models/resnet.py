@@ -127,39 +127,82 @@ def _conv(x, kernel, stride=1):
     )
 
 
-def _bn(x, p, s, train: bool):
-    """BatchNorm2d. Returns (y, new_state). Stats math in fp32.
+def _bn_batch_moments(x: jnp.ndarray, shift: jnp.ndarray):
+    """(mean, biased var) over (N,H,W), fp32 accumulation, one fused pass.
 
-    Train-mode moments use the single-read two-moment form (E[x], E[x^2]) so
-    XLA emits one multi-output reduce over the activation instead of separate
-    mean and variance passes — BN stats were ~25% of the train step's device
-    time with jnp.mean+jnp.var."""
+    Shifted two-moment form: shifting by the running mean keeps the
+    E[x^2]-E[x]^2 cancellation harmless (the naive form loses all precision
+    for |mean|/std >~ 1e3; shifted, the ratio is measured against the running
+    mean, which tracks the batch mean closely). The shift cancels exactly in
+    the returned moments, so its gradient is identically zero.
+    """
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    xs = x.astype(jnp.float32) - shift
+    s1 = jnp.sum(xs, axis=(0, 1, 2))
+    s2 = jnp.sum(xs * xs, axis=(0, 1, 2))
+    dmean = s1 / n
+    mean = dmean + shift
+    var = jnp.maximum(s2 / n - dmean * dmean, 0.0)
+    return mean, var
+
+
+@jax.custom_vjp
+def _bn_train(x, scale, bias, shift):
+    """Train-mode BN core: (y, batch mean, biased batch var).
+
+    custom_vjp pins the memory plan XLA's autodiff misses: the forward is one
+    multi-output reduce + one normalize pass, the backward is the canonical
+    two-reduction form (dbeta=Σdy, dgamma=Σdy·x̂) + one elementwise pass, and
+    the only saved activation is `x` at its own (bf16) dtype — autodiff kept
+    the fp32 shifted intermediate alive, ~doubling BN HBM traffic (this was
+    ~30% of the train step's device time).
+
+    NOTE: the mean/var outputs feed the *running stats* (non-differentiated
+    state); their cotangents are intentionally dropped in the backward.
+    """
+    mean, var = _bn_batch_moments(x, shift)
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    y = (x.astype(jnp.float32) - mean) * (inv * scale) + bias
+    return y.astype(x.dtype), mean, var
+
+
+def _bn_train_fwd(x, scale, bias, shift):
+    mean, var = _bn_batch_moments(x, shift)
+    inv = jax.lax.rsqrt(var + BN_EPS)
+    y = (x.astype(jnp.float32) - mean) * (inv * scale) + bias
+    return (y.astype(x.dtype), mean, var), (x, mean, inv, scale)
+
+
+def _bn_train_bwd(res, cots):
+    x, mean, inv, scale = res
+    dy = cots[0].astype(jnp.float32)  # mean/var cotangents: state-only, dropped
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    xhat = (x.astype(jnp.float32) - mean) * inv
+    sum_dy = jnp.sum(dy, axis=(0, 1, 2))
+    sum_dy_xhat = jnp.sum(dy * xhat, axis=(0, 1, 2))
+    dx = (scale * inv) * (dy - sum_dy / n - xhat * (sum_dy_xhat / n))
+    return dx.astype(x.dtype), sum_dy_xhat, sum_dy, jnp.zeros_like(mean)
+
+
+_bn_train.defvjp(_bn_train_fwd, _bn_train_bwd)
+
+
+def _bn(x, p, s, train: bool):
+    """BatchNorm2d. Returns (y, new_state). Stats math in fp32."""
     if train:
-        xf = x.astype(jnp.float32)
-        n = xf.shape[0] * xf.shape[1] * xf.shape[2]
-        # Shifted two-moment form: shifting by the running mean keeps the
-        # E[x^2]-E[x]^2 cancellation harmless (the naive form loses all
-        # precision for |mean|/std >~ 1e3; shifted, the ratio is measured
-        # against the running mean, which tracks the batch mean closely).
-        shift = s["mean"]
-        xs = xf - shift
-        s1 = jnp.sum(xs, axis=(0, 1, 2))
-        s2 = jnp.sum(xs * xs, axis=(0, 1, 2))
-        dmean = s1 / n
-        mean = dmean + shift
-        var = jnp.maximum(s2 / n - dmean * dmean, 0.0)
+        y, mean, var = _bn_train(x, p["scale"], p["bias"], s["mean"])
+        n = x.shape[0] * x.shape[1] * x.shape[2]
         # torch tracks *unbiased* running var
         unbiased = var * n / max(n - 1, 1)
         new_s = {
             "mean": (1 - BN_MOMENTUM) * s["mean"] + BN_MOMENTUM * mean,
             "var": (1 - BN_MOMENTUM) * s["var"] + BN_MOMENTUM * unbiased,
         }
-    else:
-        mean, var = s["mean"], s["var"]
-        new_s = s
+        return y, new_s
+    mean, var = s["mean"], s["var"]
     inv = jax.lax.rsqrt(var + BN_EPS) * p["scale"]
     y = (x.astype(jnp.float32) - mean) * inv + p["bias"]
-    return y.astype(x.dtype), new_s
+    return y.astype(x.dtype), s
 
 
 def _bottleneck_apply(x, p, s, train, stride):

@@ -73,7 +73,18 @@ def make_train_step(model, dual: DualOptimizer, cf):
     crop = cf.train_crop_size
     max_norm = cf.train_lstm_maxnormal
 
-    def loss_fn(params, model_state, batch, rng):
+    def loss_fn(params, model_state, batch, rng, encoder_on: bool):
+        if not encoder_on:
+            # Before the CNN fine-tune epoch the reference computes ResNet
+            # grads and throws them away (train.py:108-115 steps only the
+            # decoder group). Stopping gradients at the ResNet params lets XLA
+            # dead-code-eliminate the entire conv backward — same updates
+            # (decoder group excludes resnet, optim.py param_group_masks),
+            # ~2x step throughput for epochs < fine-tune start. affine_a/b sit
+            # after the backbone so their grads don't need the conv backward.
+            enc = dict(params["encoder"])
+            enc["resnet"] = jax.lax.stop_gradient(enc["resnet"])
+            params = {**params, "encoder": enc}
         images = train_preprocess(rng, batch["images"], crop, model.compute_dtype)
         scores, _, new_state = model.forward(
             params, model_state, images, batch["captions"], train=True
@@ -84,7 +95,7 @@ def make_train_step(model, dual: DualOptimizer, cf):
     @partial(jax.jit, static_argnames=("encoder_on",), donate_argnums=(0, 1, 2))
     def train_step(params, model_state, opt_state, batch, rng, encoder_on: bool = False):
         (loss, new_model_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, model_state, batch, rng
+            params, model_state, batch, rng, encoder_on
         )
         grads, lstm_norm = clip_lstm_grads(grads, max_norm)
 
