@@ -17,6 +17,21 @@ vs bf16 on a trained model). `--quant none` gives the exact-math bf16 mode.
 Prints ONE JSON line:
 {"metric": "captions_per_sec", "value": N, "unit": "captions/s", "vs_baseline": N/5000}
 (baseline: the driver's >=5k captions/s on v5e-8 target, i.e. 625/chip).
+
+Extra modes (each still prints one JSON line):
+* --mode train         — full training step (fwd+bwd+dual-opt+aug) img/s;
+                         --encoder-off benches the pre-fine-tune phase
+                         (epochs < opt_fine_tune_cnn_start_epoch), where the
+                         conv backward is dead code (training/step.py).
+* --host-input         — stream distinct uint8 batches from host RAM through
+                         data.loader.device_prefetch instead of reusing a
+                         device-resident batch: the deployable end-to-end
+                         number. Also reports the measured one-way upload and
+                         device-only times and the overlap efficiency
+                         (serial_time / pipelined_time; 1.0 = no overlap;
+                         serial/max(parts) = perfect upload/compute overlap;
+                         higher still means device_prefetch had several
+                         uploads in flight at once).
 """
 
 from __future__ import annotations
@@ -28,18 +43,13 @@ import time
 import numpy as np
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=512)
-    p.add_argument("--iters", type=int, default=10)
-    p.add_argument("--backbone", default="resnet152")
-    p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--beam", type=int, default=1)
-    p.add_argument("--use-pallas", default="auto")
-    p.add_argument("--quant", default="int8", help="encoder quantization: none|int8")
-    p.add_argument("--profile-dir", default="", help="write a jax.profiler trace here")
-    args = p.parse_args()
+def _sync(x) -> float:
+    # np.asarray on a scalar is the only reliable device sync on this rig
+    # (block_until_ready returns early through the axon tunnel), CLAUDE.md.
+    return float(np.asarray(x))
 
+
+def _make_decode_step(args):
     import jax
     import jax.numpy as jnp
 
@@ -83,28 +93,182 @@ def main():
         out = decode(params, state, images)
         return jnp.sum(out.ids)  # scalar sync handle
 
-    _ = float(np.asarray(step(params, state, images)))  # compile + warm
+    return lambda imgs: step(params, state, imgs), images
+
+
+def _make_train_step(args):
+    import jax
+
+    from adaptive_tpu.config import load_config
+    from adaptive_tpu.models.factory import build_model
+    from adaptive_tpu.training.optim import make_dual_optimizer
+    from adaptive_tpu.training.step import make_train_step
+
+    cf = load_config(None,
+        atten_model_name="adaptive_attention",
+        encoder_backbone=args.backbone,
+        vocab_length=10123,
+        compute_dtype=args.dtype,
+        train_batch_size=args.batch,
+    )
+    model = build_model(cf)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    dual, opt_state = make_dual_optimizer(params, cf)
+    train_step = make_train_step(model, dual, cf)
+    rng = jax.random.PRNGKey(1)
+    carry = {"params": params, "state": state, "opt": opt_state}
+
+    def step(batch):
+        out = train_step(
+            carry["params"], carry["state"], carry["opt"],
+            batch, rng, encoder_on=not args.encoder_off,
+        )
+        carry["params"], carry["state"], carry["opt"] = (
+            out.params, out.model_state, out.opt_state,
+        )
+        return out.loss
+
+    def make_host_batch(seed):
+        r = np.random.default_rng(seed)
+        return {
+            "images": r.integers(0, 255, (args.batch, 256, 256, 3), dtype=np.uint8),
+            "captions": r.integers(1, 10000, (args.batch, args.seq_len), dtype=np.int32),
+            "lengths": np.full((args.batch,), args.seq_len, np.int32),
+        }
+
+    return step, make_host_batch
+
+
+def _bench_device_resident(step, batch, iters):
+    """N queued dispatches, one final sync (the chip-ceiling methodology)."""
+    _sync(step(batch))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = step(batch)
+    _sync(r)
+    return (time.perf_counter() - t0) / iters
+
+
+def _bench_host_input(step, host_batches, prefetch):
+    """Sustained pipelined throughput: distinct host batches streamed through
+    device_prefetch (async device_put overlapping compute).
+
+    Returns (seconds/batch pipelined, seconds/batch upload-only,
+    seconds/batch device-only)."""
+    import jax
+
+    from adaptive_tpu.data.loader import device_prefetch
+
+    as_tree = lambda b: b if isinstance(b, dict) else {"images": b}
+    tree_of = lambda d: d if len(d) > 1 else d["images"]
+
+    # compile + warm with one batch
+    warm = {k: jax.device_put(v) for k, v in as_tree(host_batches[0]).items()}
+    _sync(step(tree_of(warm)))
+
+    # upload-only cost (synchronous device_put of one batch); sync by fetching
+    # one element of each uploaded buffer (block_until_ready returns early
+    # through the axon tunnel, and a full-array fetch would ride the slow
+    # download path)
+    times = []
+    for i in range(3):  # median of 3: the tunnel's rate is bursty
+        t0 = time.perf_counter()
+        up = {k: jax.device_put(v) for k, v in as_tree(host_batches[i % len(host_batches)]).items()}
+        for v in up.values():
+            _sync(v[(0,) * v.ndim].astype(np.float32))
+        times.append(time.perf_counter() - t0)
+    t_upload = sorted(times)[1]
+
+    # device-only cost (reuse the uploaded batch)
+    t0 = time.perf_counter()
+    for _ in range(4):
+        r = step(tree_of(up))
+    _sync(r)
+    t_device = (time.perf_counter() - t0) / 4
+
+    # pipelined end-to-end
+    t0 = time.perf_counter()
+    r = None
+    for dev_batch in device_prefetch(iter(map(as_tree, host_batches)), size=prefetch):
+        r = step(tree_of(dev_batch))
+    _sync(r)
+    t_pipe = (time.perf_counter() - t0) / len(host_batches)
+    return t_pipe, t_upload, t_device
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", default="decode", choices=["decode", "train"])
+    p.add_argument("--batch", type=int, default=0, help="default: 512 decode / 256 train")
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--backbone", default="resnet152")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--beam", type=int, default=1)
+    p.add_argument("--use-pallas", default="auto")
+    p.add_argument("--quant", default="int8", help="encoder quantization: none|int8")
+    p.add_argument("--encoder-off", action="store_true",
+                   help="train mode: bench the pre-fine-tune phase (no conv bwd)")
+    p.add_argument("--seq-len", type=int, default=24, help="train mode caption bucket")
+    p.add_argument("--host-input", action="store_true",
+                   help="stream uint8 batches from host RAM via device_prefetch")
+    p.add_argument("--prefetch", type=int, default=2, help="device_prefetch depth")
+    p.add_argument("--profile-dir", default="", help="write a jax.profiler trace here")
+    args = p.parse_args()
+    if not args.batch:
+        args.batch = 512 if args.mode == "decode" else 256
 
     from adaptive_tpu.utils.profiling import profile_trace
 
-    with profile_trace(args.profile_dir, enabled=bool(args.profile_dir)):
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            r = step(params, state, images)
-        _ = float(np.asarray(r))
-        dt = (time.perf_counter() - t0) / args.iters
+    extra = {}
+    if args.mode == "decode":
+        step, images = _make_decode_step(args)
+        if args.host_input:
+            rng = np.random.default_rng(0)
+            hbs = [rng.integers(0, 255, (args.batch, 256, 256, 3), dtype=np.uint8)
+                   for _ in range(args.iters)]
+            with profile_trace(args.profile_dir, enabled=bool(args.profile_dir)):
+                dt, t_up, t_dev = _bench_host_input(step, hbs, args.prefetch)
+            metric = "captions_per_sec_host_input"
+        else:
+            with profile_trace(args.profile_dir, enabled=bool(args.profile_dir)):
+                dt = _bench_device_resident(step, images, args.iters)
+            metric = "captions_per_sec"
+        unit, anchor = "captions/s", 5000.0
+    else:
+        step, make_host_batch = _make_train_step(args)
+        if args.host_input:
+            hbs = [make_host_batch(i) for i in range(args.iters)]
+            with profile_trace(args.profile_dir, enabled=bool(args.profile_dir)):
+                dt, t_up, t_dev = _bench_host_input(step, hbs, args.prefetch)
+            metric = "images_per_sec_train_host_input"
+        else:
+            import jax
 
-    cps = args.batch / dt
-    print(
-        json.dumps(
-            {
-                "metric": "captions_per_sec",
-                "value": round(cps, 2),
-                "unit": "captions/s",
-                "vs_baseline": round(cps / 5000.0, 4),
-            }
-        )
-    )
+            batch = {k: jax.device_put(v) for k, v in make_host_batch(0).items()}
+            with profile_trace(args.profile_dir, enabled=bool(args.profile_dir)):
+                dt = _bench_device_resident(step, batch, args.iters)
+            metric = "images_per_sec_train"
+        # anchor: round-1 recorded fine-tune train step (VALIDATION.md)
+        unit, anchor = "img/s", 1310.0
+
+    if args.host_input:
+        serial = t_up + t_dev
+        extra = {
+            "upload_ms": round(t_up * 1e3, 1),
+            "device_ms": round(t_dev * 1e3, 1),
+            # 1.0 = fully serial; serial/max(parts) = perfect overlap
+            "overlap_efficiency": round(serial / dt, 3),
+            "overlap_max": round(serial / max(t_up, t_dev), 3),
+        }
+
+    rate = args.batch / dt
+    print(json.dumps({
+        "metric": metric,
+        "value": round(rate, 2),
+        "unit": unit,
+        "vs_baseline": round(rate / anchor, 4),
+        **extra,
+    }))
 
 
 if __name__ == "__main__":
