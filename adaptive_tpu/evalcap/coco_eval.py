@@ -23,6 +23,26 @@ from adaptive_tpu.decoding import make_beam_decoder, make_greedy_decoder
 from adaptive_tpu.evalcap.eval import COCOEvalCap
 
 
+_CKPT_EXTS = (".pkl", ".ckpt", ".msgpack", ".npz")
+
+
+def _results_name(model_path: str) -> str:
+    """Results-JSON name derived from the checkpoint path.
+
+    The reference flattens the path and truncates at the FIRST '.'
+    (utils.py:205-222) — which collides for checkpoints whose names embed the
+    CIDEr score: 'a/cider-0.9300_model-9' and 'a/cider-0.8100_model-3' both
+    become 'a_cider-0.json'. Intentional deviation: strip only a real
+    checkpoint extension, then map remaining dots to '_' so every checkpoint
+    gets a distinct, filesystem-safe name.
+    """
+    flat = model_path.rstrip("/").replace("/", "_")
+    stem, ext = os.path.splitext(flat)
+    if ext.lower() in _CKPT_EXTS:
+        flat = stem
+    return flat.replace(".", "_") + ".json"
+
+
 def decode_split(
     cf, model, params, state, ann_path: str, vocab: Vocabulary, decoder=None
 ) -> List[Dict]:
@@ -95,7 +115,7 @@ def coco_eval(
     # results file naming per mode (utils.py:205-222)
     exp_dir = cf.exp_dir or "."
     if test_mode:
-        name = cf.test_pretrained_model.replace("/", "_").split(".")[0] + ".json"
+        name = _results_name(cf.test_pretrained_model)
         resFile = os.path.join(exp_dir, name)
     elif train_mode:
         d = os.path.join(exp_dir, "train_eval_results")
@@ -106,7 +126,7 @@ def coco_eval(
         os.makedirs(d, exist_ok=True)
         name = f"validation-{epoch}.json"
         if valid_mode:
-            name = cf.valid_pretrained_model.replace("/", "_").split(".")[0] + ".json"
+            name = _results_name(cf.valid_pretrained_model)
         resFile = os.path.join(d, name)
     with open(resFile, "w") as f:
         json.dump(results, f)
@@ -134,6 +154,12 @@ def get_testOrValid_model(cf, test_mode: bool, valid_mode: bool):
     model = build_model(cf)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(cf.train_random_seed))
     path = cf.test_pretrained_model if test_mode else cf.valid_pretrained_model
-    if path:
-        params, state = ckpt.restore_model(path, params, state)
+    if not path:
+        # The reference crashes in load_state_dict on a bad path (utils.py:262-266);
+        # scoring random weights silently would be strictly worse — fail loudly.
+        knob = "test_pretrained_model" if test_mode else "valid_pretrained_model"
+        raise ValueError(
+            f"{knob} must point at a checkpoint for this mode (cfg_wzn.py:78-80,124-126)"
+        )
+    params, state = ckpt.restore_model(path, params, state)
     return model, params, state

@@ -33,6 +33,31 @@ def test_coco_eval_beam_mode(tmp_path, tiny_cf):
     assert len(results) == 5  # one caption per image, last batch padded+deduped
 
 
+def test_results_name_no_collision():
+    """Checkpoint paths embedding the CIDEr score must not collide
+    (the reference's first-dot truncation maps them all to 'cider-0.json',
+    utils.py:205-222 — intentional deviation, see _results_name)."""
+    from adaptive_tpu.evalcap.coco_eval import _results_name
+
+    a = _results_name("exp/cider-0.9300_model-9.pkl")
+    b = _results_name("exp/cider-0.8100_model-3.pkl")
+    assert a != b
+    assert a == "exp_cider-0_9300_model-9.json"
+    # directory-style checkpoints (orbax-style dirs, no extension)
+    assert _results_name("exp/cider-0.9300_model-9/") == "exp_cider-0_9300_model-9.json"
+    assert _results_name("m.msgpack") == "m.json"
+
+
+def test_valid_mode_requires_checkpoint(tiny_cf):
+    """valid/test mode with no checkpoint path must fail loudly, not score
+    random weights (reference crashes in load_state_dict, utils.py:262-266)."""
+    from adaptive_tpu.evalcap.coco_eval import get_testOrValid_model
+
+    cf = tiny_cf.replace(valid_pretrained_model="", vocab_length=25)
+    with pytest.raises(ValueError, match="valid_pretrained_model"):
+        get_testOrValid_model(cf, test_mode=False, valid_mode=True)
+
+
 def test_ann_to_rle_uncompressed_counts(tmp_path):
     """COCO 'uncompressed RLE' (counts as list) -> compact RLE."""
     from adaptive_tpu.native import mask as M
