@@ -13,16 +13,31 @@ Design notes (TPU):
   batch, then pads with the last image — p50 latency stays near one decode.
 * everything device-side persists (params, BN-folded weights fold per call
   inside the jit; weights stay resident in HBM).
+
+Hardening surface:
+* input validation returns an error dict (never raises into the caller's
+  thread, never crashes the worker).
+* bounded queue (`max_queue`, default 8x batch): when full, requests are
+  shed immediately with {"error": "overloaded"} instead of building an
+  unbounded latency tail.
+* `healthy()` (worker thread alive) / `ready()` (warmed: first batch
+  compiled) back the /healthz and /readyz endpoints.
+* `stats()`: request/shed/error counters plus latency and batch-fill
+  histograms — the fill histogram is the dial for tuning max_wait_ms.
 """
 
 from __future__ import annotations
 
+import bisect
 import queue
 import threading
 import time
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+# log-spaced latency buckets, milliseconds (upper edges; last is +inf)
+_LAT_EDGES_MS = (1, 2, 5, 10, 20, 50, 100, 200, 500, 1000, 2000, 5000)
 
 
 class CaptionService:
@@ -33,7 +48,8 @@ class CaptionService:
     """
 
     def __init__(self, cf, vocab, params=None, state=None, checkpoint: str = "",
-                 batch_size: Optional[int] = None, max_wait_ms: float = 5.0):
+                 batch_size: Optional[int] = None, max_wait_ms: float = 5.0,
+                 max_queue: Optional[int] = None):
         import jax
 
         from adaptive_tpu.decoding import make_beam_decoder, make_greedy_decoder
@@ -43,6 +59,7 @@ class CaptionService:
         self.cf = cf.replace(vocab_length=len(vocab))
         self.batch_size = batch_size or cf.eval_batch_size
         self.max_wait = max_wait_ms / 1000.0
+        self.image_size = self.cf.resized_image_size
         self.model = build_model(self.cf)
         if params is None:
             params, state = jax.jit(self.model.init)(jax.random.PRNGKey(cf.train_random_seed))
@@ -56,23 +73,66 @@ class CaptionService:
             if self.cf.beam_size > 1
             else make_greedy_decoder(self.model, self.cf)
         )
-        self._queue: "queue.Queue[Tuple[np.ndarray, queue.Queue]]" = queue.Queue()
+        self._queue: "queue.Queue[Tuple[np.ndarray, float, queue.Queue]]" = queue.Queue(
+            maxsize=max_queue if max_queue is not None else 8 * self.batch_size
+        )
         self._stop = threading.Event()
+        self._ready = threading.Event()
+        self._lock = threading.Lock()
+        self._counters = {"requests": 0, "completed": 0, "errors": 0,
+                          "shed": 0, "invalid": 0, "batches": 0}
+        self._lat_hist = [0] * (len(_LAT_EDGES_MS) + 1)
+        self._fill_hist = [0] * (self.batch_size + 1)  # index = requests in batch
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
     # ------------------------------------------------------------------ api
     def caption(self, image_u8: np.ndarray, timeout: Optional[float] = 60.0) -> Dict:
-        assert image_u8.ndim == 3 and image_u8.dtype == np.uint8
+        with self._lock:
+            self._counters["requests"] += 1
+        err = self._validate(image_u8)
+        if err:
+            with self._lock:
+                self._counters["invalid"] += 1
+            return {"error": err}
         if self._stop.is_set():
             return {"error": "service closed"}
         reply: "queue.Queue" = queue.Queue(1)
-        self._queue.put((image_u8, reply))
+        try:
+            self._queue.put_nowait((image_u8, time.monotonic(), reply))
+        except queue.Full:
+            with self._lock:
+                self._counters["shed"] += 1
+            return {"error": "overloaded", "queue_depth": self._queue.qsize()}
         return reply.get(timeout=timeout)
 
     def warmup(self):
-        img = np.zeros((self.cf.resized_image_size,) * 2 + (3,), np.uint8)
+        img = np.zeros((self.image_size,) * 2 + (3,), np.uint8)
         self.caption(img, timeout=None)  # first call compiles
+
+    def healthy(self) -> bool:
+        """Liveness: the batching worker is running."""
+        return self._worker.is_alive() and not self._stop.is_set()
+
+    def ready(self) -> bool:
+        """Readiness: at least one batch decoded (executable compiled)."""
+        return self.healthy() and self._ready.is_set()
+
+    def stats(self) -> Dict:
+        """Counters + histograms snapshot (all plain ints; JSON-safe)."""
+        with self._lock:
+            return {
+                **self._counters,
+                "queue_depth": self._queue.qsize(),
+                "batch_size": self.batch_size,
+                "latency_ms_hist": {
+                    **{f"le_{e}": c for e, c in zip(_LAT_EDGES_MS, self._lat_hist)},
+                    "inf": self._lat_hist[-1],
+                },
+                "batch_fill_hist": {
+                    str(n): c for n, c in enumerate(self._fill_hist) if n
+                },
+            }
 
     def close(self):
         """Stop the worker and fail any queued/in-flight requests."""
@@ -80,12 +140,22 @@ class CaptionService:
         self._worker.join(timeout=10)
         while True:  # drain: callers must not block forever
             try:
-                _, reply = self._queue.get_nowait()
+                _, _, reply = self._queue.get_nowait()
             except queue.Empty:
                 break
             reply.put({"error": "service closed"})
 
     # ------------------------------------------------------------- internals
+    def _validate(self, img) -> str:
+        if not isinstance(img, np.ndarray):
+            return f"image must be a numpy array, got {type(img).__name__}"
+        if img.dtype != np.uint8:
+            return f"image dtype must be uint8, got {img.dtype}"
+        s = self.image_size
+        if img.shape != (s, s, 3):
+            return f"image shape must be ({s}, {s}, 3), got {tuple(img.shape)}"
+        return ""
+
     def _loop(self):
         while not self._stop.is_set():
             try:
@@ -93,9 +163,9 @@ class CaptionService:
             except queue.Empty:
                 continue
             batch = [first]
-            deadline = time.time() + self.max_wait
+            deadline = time.monotonic() + self.max_wait
             while len(batch) < self.batch_size:
-                remaining = deadline - time.time()
+                remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     break
                 try:
@@ -104,14 +174,23 @@ class CaptionService:
                     break
             self._process(batch)
 
-    def _process(self, batch: List[Tuple[np.ndarray, queue.Queue]]):
+    def _process(self, batch: List[Tuple[np.ndarray, float, queue.Queue]]):
         n = len(batch)
         images = np.stack([b[0] for b in batch] + [batch[-1][0]] * (self.batch_size - n))
         try:
             out = self.decode(self.params, self.state, images)
             ids = np.asarray(out.ids)
             betas = np.asarray(getattr(out, "beta", np.zeros((self.batch_size, 1))))
-            for i, (_, reply) in enumerate(batch):
+            done = time.monotonic()
+            with self._lock:
+                self._counters["batches"] += 1
+                self._counters["completed"] += n
+                self._fill_hist[n] += 1
+                for _, t0, _ in batch:
+                    ms = (done - t0) * 1e3
+                    self._lat_hist[bisect.bisect_left(_LAT_EDGES_MS, ms)] += 1
+            self._ready.set()
+            for i, (_, _, reply) in enumerate(batch):
                 caption = self.vocab.decode_ids(ids[i])
                 n_words = len(caption.split())
                 reply.put(
@@ -121,5 +200,7 @@ class CaptionService:
                     }
                 )
         except Exception as e:  # surface errors to every waiter
-            for _, reply in batch:
+            with self._lock:
+                self._counters["errors"] += n
+            for _, _, reply in batch:
                 reply.put({"error": f"{type(e).__name__}: {e}"})

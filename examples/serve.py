@@ -5,6 +5,8 @@
     curl -X POST --data-binary @photo.jpg http://localhost:8000/caption
 
 POST /caption with raw JPEG/PNG bytes -> {"caption": "...", "beta": [...]}.
+GET /healthz (worker alive), /readyz (warmed), /statz (counters+histograms).
+Oversized bodies get 413; a full queue gets 503 (load shedding).
 """
 
 from __future__ import annotations
@@ -21,6 +23,62 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def build_server(service, port: int, max_body_mb: float = 10.0) -> ThreadingHTTPServer:
+    """HTTP front end over a CaptionService (factored out for tests)."""
+    from PIL import Image
+
+    size = service.image_size
+    max_body = int(max_body_mb * 1024 * 1024)
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code, obj):
+            payload = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                ok = service.healthy()
+                self._json(200 if ok else 503, {"healthy": ok})
+            elif self.path == "/readyz":
+                ok = service.ready()
+                self._json(200 if ok else 503, {"ready": ok})
+            elif self.path == "/statz":
+                self._json(200, service.stats())
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            if self.path != "/caption":
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            if length > max_body:
+                self.send_error(413, f"body {length} bytes > limit {max_body}")
+                return
+            body = self.rfile.read(length)
+            try:
+                with Image.open(io.BytesIO(body)) as im:
+                    img = np.asarray(im.convert("RGB").resize((size, size)), np.uint8)
+            except Exception as e:
+                self.send_error(400, f"{type(e).__name__}: {e}")
+                return
+            result = service.caption(img, timeout=30)
+            if "error" in result:
+                code = 503 if result["error"] in ("overloaded", "service closed") else 400
+                self._json(code, result)
+            else:
+                self._json(200, result)
+
+        def log_message(self, *a):
+            pass
+
+    return ThreadingHTTPServer(("", port), Handler)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--vocab", required=True)
@@ -31,9 +89,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--beam", type=int, default=1)
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max-body-mb", type=float, default=10.0,
+                    help="reject request bodies larger than this (413)")
     args = ap.parse_args()
-
-    from PIL import Image
 
     from adaptive_tpu.config import Config, load_config
     from adaptive_tpu.data.vocab import Vocabulary
@@ -52,33 +110,9 @@ def main():
     service = CaptionService(cf, vocab, checkpoint=args.checkpoint, batch_size=args.batch)
     print("compiling...")
     service.warmup()
-    size = cf.resized_image_size
-
-    class Handler(BaseHTTPRequestHandler):
-        def do_POST(self):
-            if self.path != "/caption":
-                self.send_error(404)
-                return
-            length = int(self.headers.get("Content-Length", 0))
-            body = self.rfile.read(length)
-            try:
-                with Image.open(io.BytesIO(body)) as im:
-                    img = np.asarray(im.convert("RGB").resize((size, size)), np.uint8)
-                result = service.caption(img, timeout=30)
-                payload = json.dumps(result).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(payload)))
-                self.end_headers()
-                self.wfile.write(payload)
-            except Exception as e:
-                self.send_error(400, f"{type(e).__name__}: {e}")
-
-        def log_message(self, *a):
-            pass
-
+    server = build_server(service, args.port, args.max_body_mb)
     print(f"serving on :{args.port}")
-    ThreadingHTTPServer(("", args.port), Handler).serve_forever()
+    server.serve_forever()
 
 
 if __name__ == "__main__":

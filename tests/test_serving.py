@@ -46,3 +46,95 @@ def test_deterministic_per_image(service):
     a = service.caption(img, timeout=120)
     b = service.caption(img, timeout=120)
     assert a["caption"] == b["caption"]
+
+
+def test_invalid_inputs_rejected_not_raised(service):
+    bad_shape = np.zeros((10, 10, 3), np.uint8)
+    bad_dtype = np.zeros((72, 72, 3), np.float32)
+    assert "shape" in service.caption(bad_shape)["error"]
+    assert "dtype" in service.caption(bad_dtype)["error"]
+    assert "numpy" in service.caption([[1, 2]])["error"]
+    # the worker must survive invalid inputs
+    assert service.healthy()
+
+
+def test_health_ready_and_stats(service):
+    img = np.random.default_rng(3).integers(0, 255, (72, 72, 3), dtype=np.uint8)
+    service.caption(img, timeout=120)
+    assert service.healthy() and service.ready()
+    st = service.stats()
+    assert st["completed"] >= 1 and st["batches"] >= 1
+    assert sum(st["latency_ms_hist"].values()) == st["completed"]
+    assert sum(st["batch_fill_hist"].values()) == st["batches"]
+    # stats must be JSON-serializable (feeds /statz)
+    import json
+
+    json.dumps(st)
+
+
+def test_http_front_end(service):
+    """examples/serve.py endpoints: healthz/readyz/statz, caption round trip,
+    413 oversize, 400 non-image."""
+    import http.client
+    import io
+    import json
+    import os
+    import sys
+    import threading
+
+    from PIL import Image
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    from serve import build_server
+
+    server = build_server(service, port=0, max_body_mb=0.5)  # ephemeral port
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = server.server_address[1]
+
+        def req(method, path, body=None):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+            c.request(method, path, body=body)
+            r = c.getresponse()
+            data = r.read()
+            c.close()
+            return r.status, data
+
+        assert req("GET", "/healthz")[0] == 200
+        assert req("GET", "/readyz")[0] == 200  # module fixture already decoded
+        status, data = req("GET", "/statz")
+        assert status == 200 and b"batch_fill_hist" in data
+
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((72, 72, 3), np.uint8)).save(buf, "PNG")
+        status, data = req("POST", "/caption", buf.getvalue())
+        assert status == 200 and b"caption" in data
+
+        assert req("POST", "/caption", b"x" * (600 * 1024))[0] == 413
+        assert req("POST", "/caption", b"not an image")[0] == 400
+        assert req("GET", "/nope")[0] == 404
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_overload_shedding(tiny_cf):
+    """A full queue sheds with an 'overloaded' error instead of blocking."""
+    from adaptive_tpu.data.vocab import SPECIALS, Vocabulary
+    from adaptive_tpu.serving import CaptionService
+
+    vocab = Vocabulary(SPECIALS + [f"w{i}" for i in range(28)])
+    cf = tiny_cf.replace(vocab_length=len(vocab), eval_batch_size=2, decode_max_len=4)
+    svc = CaptionService(cf, vocab, batch_size=2, max_wait_ms=1, max_queue=1)
+    try:
+        svc._stop.set()  # freeze the worker so the queue can't drain
+        svc._worker.join(timeout=10)
+        img = np.zeros((72, 72, 3), np.uint8)
+        svc._stop.clear()  # allow enqueue; worker stays dead
+        first = svc._queue.put_nowait((img, 0.0, None))  # fill the queue
+        out = svc.caption(img, timeout=5)
+        assert out["error"] == "overloaded"
+        assert svc.stats()["shed"] == 1
+    finally:
+        svc._stop.set()
