@@ -123,11 +123,20 @@ def build_vocab(annotations: Iterable[str], threshold: int) -> Vocabulary:
 
 
 def main_build_vocab(cf) -> Vocabulary:
-    """Pipeline stage: build vocab from the train split (build_vocab.py:58-65)."""
-    from adaptive_tpu.data.coco_api import COCO
+    """Pipeline stage: build vocab from the train split (build_vocab.py:58-65).
 
-    coco = COCO(cf.train_anno_path)
-    captions = (coco.anns[a]["caption"] for a in coco.anns)
+    Uses the native columnar scanner (data/fast_json.py) when available —
+    caption strings only, no per-annotation dicts; identical order (the
+    annotations array) so the first-seen Counter order matches the stdlib
+    path exactly. Falls back to the COCO API otherwise."""
+    from adaptive_tpu.data.fast_json import load_captions
+
+    captions = load_captions(cf.train_anno_path)
+    if captions is None:
+        from adaptive_tpu.data.coco_api import COCO
+
+        coco = COCO(cf.train_anno_path)
+        captions = (coco.anns[a]["caption"] for a in coco.anns)
     vocab = build_vocab(captions, cf.vocab_threshold)
     vocab.save(cf.vocab_path)
     print("Total vocabulary size: %d" % len(vocab))
