@@ -156,6 +156,10 @@ class Config:
     mesh_shape: Tuple[int, ...] = (-1, 1)
     # Gradient checkpointing for the encoder when memory-bound.
     remat_encoder: bool = False
+    # Optimizer-state placement on a mesh: "replicated" (default) or "data"
+    # (ZeRO-1: Adam/SGD moments sharded over the data axis — same updates,
+    # ~1/N the optimizer-state HBM per chip; parallel/mesh.py).
+    opt_state_sharding: str = "replicated"
     # Multi-host: call jax.distributed.initialize() at startup (one process
     # per host; the same mesh code then spans all hosts' devices over DCN).
     distributed_init: bool = False
@@ -250,6 +254,10 @@ def _validate(cf: Config):
         raise ValueError(f"use_pallas={cf.use_pallas!r}")
     if cf.encoder_quant not in ("none", "int8"):
         raise ValueError(f"encoder_quant={cf.encoder_quant!r} — must be none|int8")
+    if cf.opt_state_sharding not in ("replicated", "data"):
+        raise ValueError(
+            f"opt_state_sharding={cf.opt_state_sharding!r} — must be replicated|data"
+        )
     if cf.rnn_attention_numlayers != 1:
         # accepted-but-ignored knobs must fail loudly, not run silently wrong:
         # only the 1-layer attention LSTM is implemented (ops/attention.py:91-121;

@@ -1,3 +1,17 @@
-from adaptive_tpu.parallel.mesh import make_mesh, shard_batch, shard_params, param_sharding_rules
+from adaptive_tpu.parallel.mesh import (
+    make_mesh,
+    opt_state_sharding_rules,
+    param_sharding_rules,
+    shard_batch,
+    shard_opt_state,
+    shard_params,
+)
 
-__all__ = ["make_mesh", "shard_batch", "shard_params", "param_sharding_rules"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "shard_params",
+    "param_sharding_rules",
+    "shard_opt_state",
+    "opt_state_sharding_rules",
+]

@@ -78,3 +78,50 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     """Place params per the sharding rules (TP on vocab-dim, rest replicated)."""
     shardings = param_sharding_rules(params, mesh)
     return jax.tree.map(jax.device_put, params, shardings)
+
+
+def opt_state_sharding_rules(opt_state: Any, mesh: Mesh, min_size: int = 8192) -> Any:
+    """ZeRO-1-style sharding rules for optimizer state.
+
+    Optimizer moments (Adam mu/nu, SGD momentum) are pure per-parameter
+    elementwise state — unlike params they are never contracted against
+    activations, so they can live sharded across the 'data' axis permanently:
+    XLA reduce-scatters the grads into the shard each device owns and the
+    update runs on 1/N of the moment bytes per chip. For the flagship model
+    (ResNet-152 fine-tune + decoder, fp32 moments) this saves ~¾ of the
+    ~0.5 GB optimizer-state HBM per chip on a 4-way data axis.
+
+    Rule: float tensors with ndim>=1, leading dim divisible by the data-axis
+    size, and >= min_size elements are sharded P('data', ...); scalars,
+    counts, and small leaves stay replicated (collective overhead would beat
+    the byte savings). No reference counterpart — torch.nn.DataParallel
+    replicates optimizer state per GPU.
+    """
+    data_axis = mesh.axis_names[0]
+    n = mesh.shape[data_axis]
+
+    def rule(leaf):
+        if (
+            n > 1
+            and hasattr(leaf, "ndim")
+            and leaf.ndim >= 1
+            and leaf.size >= min_size
+            and leaf.shape[0] % n == 0
+            and jnp_floating(leaf)
+        ):
+            return NamedSharding(mesh, P(data_axis, *([None] * (leaf.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, opt_state)
+
+
+def jnp_floating(leaf) -> bool:
+    import jax.numpy as jnp
+
+    return jnp.issubdtype(getattr(leaf, "dtype", None), jnp.floating)
+
+
+def shard_opt_state(opt_state: Any, mesh: Mesh) -> Any:
+    """Place optimizer state per opt_state_sharding_rules (ZeRO-1)."""
+    shardings = opt_state_sharding_rules(opt_state, mesh)
+    return jax.tree.map(jax.device_put, opt_state, shardings)

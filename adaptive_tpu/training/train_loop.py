@@ -69,6 +69,10 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
             )
     if mesh is not None:
         params = shard_params(params, mesh)
+        if cf.opt_state_sharding == "data":
+            from adaptive_tpu.parallel import shard_opt_state
+
+            opt_state = shard_opt_state(opt_state, mesh)  # ZeRO-1 moments
 
     decoder_sched = ReduceLROnPlateau(
         get_lr(opt_state, "decoder"), cf.opt_lrdecay_factor, cf.opt_lrdecay_patience,

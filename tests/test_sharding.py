@@ -90,6 +90,80 @@ def test_sharded_train_step_runs_and_matches_single_device(tiny_cf):
     )
 
 
+def test_zero1_opt_state_sharding_rules():
+    from adaptive_tpu.parallel import opt_state_sharding_rules
+
+    mesh = make_mesh(shape=(4, 2), axes=("data", "model"))
+    state = {
+        "mu": jnp.zeros((64, 256)),        # big + divisible -> sharded
+        "nu": jnp.zeros((63, 256)),        # indivisible dim0 -> replicated
+        "small": jnp.zeros((8, 4)),        # tiny -> replicated
+        "count": jnp.zeros((), jnp.int32),  # scalar -> replicated
+    }
+    rules = opt_state_sharding_rules(state, mesh, min_size=1024)
+    assert rules["mu"].spec == P("data", None)
+    assert rules["nu"].spec == P()
+    assert rules["small"].spec == P()
+    assert rules["count"].spec == P()
+
+
+def test_zero1_train_step_matches_replicated(tiny_cf):
+    """ZeRO-1 moments sharded over 'data': identical updates, sharded state."""
+    from adaptive_tpu.models.factory import build_model
+    from adaptive_tpu.parallel import shard_opt_state
+    from adaptive_tpu.training.optim import make_dual_optimizer
+    from adaptive_tpu.training.step import make_train_step
+
+    cf = tiny_cf.replace(vocab_length=64, mesh_shape=(4, 2), opt_state_sharding="data")
+    model = build_model(cf)
+    params, state = model.init(jax.random.PRNGKey(0))
+    dual, opt_state = make_dual_optimizer(params, cf)
+    step = make_train_step(model, dual, cf)
+
+    rng = np.random.default_rng(1)
+    B, T = 8, 6
+    batch = {
+        "images": rng.integers(0, 255, (B, 72, 72, 3), dtype=np.uint8),
+        "captions": rng.integers(1, 64, (B, T)).astype(np.int32),
+        "lengths": np.full((B,), T, np.int32),
+    }
+    key = jax.random.PRNGKey(2)
+
+    out_rep = step(
+        jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, state),
+        jax.tree.map(jnp.copy, opt_state), dict(batch), key, True,
+    )
+
+    mesh = make_mesh(cf)
+    p2 = shard_params(jax.tree.map(jnp.copy, params), mesh)
+    o2 = shard_opt_state(jax.tree.map(jnp.copy, opt_state), mesh)
+    # at least one moment leaf must actually be sharded over 'data'
+    specs = [
+        getattr(l, "sharding", None).spec
+        for l in jax.tree.leaves(o2)
+        if hasattr(l, "sharding")
+    ]
+    assert any(s is not None and "data" in str(s) for s in specs), specs
+    out_z1 = step(p2, jax.tree.map(jnp.copy, state), o2, shard_batch(mesh, batch), key, True)
+
+    np.testing.assert_allclose(float(out_rep.loss), float(out_z1.loss), rtol=1e-5)
+    for k in ("embed",):
+        np.testing.assert_allclose(
+            np.asarray(out_rep.params["decoder"][k]),
+            np.asarray(out_z1.params["decoder"][k]),
+            atol=1e-5,
+        )
+    # two steps: sharded state stays sharded and stays numerically aligned
+    out_rep2 = step(out_rep.params, out_rep.model_state, out_rep.opt_state, dict(batch), key, True)
+    out_z12 = step(out_z1.params, out_z1.model_state, out_z1.opt_state, shard_batch(mesh, batch), key, True)
+    np.testing.assert_allclose(float(out_rep2.loss), float(out_z12.loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_rep2.params["decoder"]["embed"]),
+        np.asarray(out_z12.params["decoder"]["embed"]),
+        atol=5e-5,  # two Adam steps of layout-dependent reassociation noise
+    )
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
