@@ -258,10 +258,11 @@ def _validate(cf: Config):
         raise ValueError(
             f"opt_state_sharding={cf.opt_state_sharding!r} — must be replicated|data"
         )
-    if cf.rnn_attention_numlayers != 1:
+    if cf.atten_model_name == "rnn_attention" and cf.rnn_attention_numlayers != 1:
         # accepted-but-ignored knobs must fail loudly, not run silently wrong:
         # only the 1-layer attention LSTM is implemented (ops/attention.py:91-121;
-        # the reference default is 1, rnn_attention.py:25)
+        # the reference default is 1, rnn_attention.py:25). Other variants never
+        # read this knob (the reference also ignores it there), so they pass.
         raise NotImplementedError(
             f"rnn_attention_numlayers={cf.rnn_attention_numlayers} — only 1 "
             "layer is implemented"

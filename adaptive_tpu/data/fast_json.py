@@ -35,6 +35,8 @@ def _load_lib():
         lib = ctypes.CDLL(ensure_json_built())
         lib.coco_json_parse.restype = ctypes.c_void_p
         lib.coco_json_parse.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+        lib.coco_json_seen.restype = ctypes.c_longlong
+        lib.coco_json_seen.argtypes = [ctypes.c_void_p]
         lib.coco_json_count.restype = ctypes.c_longlong
         lib.coco_json_count.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.coco_json_i64.restype = ctypes.POINTER(ctypes.c_longlong)
@@ -79,6 +81,11 @@ def load_columns(path: str) -> Optional[CocoColumns]:
     if not h:
         return None  # caller falls back to stdlib json (and its error message)
     try:
+        if not (lib.coco_json_seen(h) & 0b011):
+            # syntactically valid JSON but no images/annotations keys: this is
+            # not a COCO file — fall back so the stdlib path can raise its
+            # loud KeyError instead of us silently returning empty columns.
+            return None
         def ints(field, n):
             ptr = lib.coco_json_i64(h, field)
             return np.ctypeslib.as_array(ptr, shape=(n,)).copy() if n else np.zeros(0, np.int64)

@@ -118,9 +118,10 @@ def init_decoder_tree(key, spec: D.DecoderSpec) -> Dict:
 def build_model(cf) -> CaptionModel:
     if cf.atten_model_name not in VARIANTS:
         raise ValueError(f"unknown atten_model_name {cf.atten_model_name!r}")
-    if cf.rnn_attention_numlayers != 1:
+    if cf.atten_model_name == "rnn_attention" and cf.rnn_attention_numlayers != 1:
         # never run an accepted-but-ignored knob silently wrong (only the
-        # 1-layer attention LSTM of rnn_attention.py:25 is implemented)
+        # 1-layer attention LSTM of rnn_attention.py:25 is implemented);
+        # other variants never read the knob — same as the reference.
         raise NotImplementedError(
             f"rnn_attention_numlayers={cf.rnn_attention_numlayers} — only 1 "
             "layer is implemented"

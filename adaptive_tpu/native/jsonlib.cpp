@@ -27,6 +27,10 @@
 namespace {
 
 struct Columns {
+  // which COCO sections appeared: bit0 images, bit1 annotations, bit2
+  // categories. Lets the caller distinguish an actual COCO file from any
+  // other syntactically valid JSON object (which must fall back to stdlib).
+  int seen = 0;
   // images
   std::vector<int64_t> img_id, img_h, img_w;
   std::string fn_buf;
@@ -279,15 +283,19 @@ struct Parser {
   bool document(Columns& c) {
     if (!expect('{')) return false;
     ws();
-    if (peek('}')) { p++; return true; }
+    if (peek('}')) {
+      p++;
+      ws();
+      return p == end ? true : fail("trailing content");
+    }
     std::string key;
     while (true) {
       key.clear();
       if (!expect('"') || !string_into(key) || !expect(':')) return false;
       bool ok;
-      if (key == "images") ok = section_array(c, 0);
-      else if (key == "annotations") ok = section_array(c, 1);
-      else if (key == "categories") ok = section_array(c, 2);
+      if (key == "images") { c.seen |= 1; ok = section_array(c, 0); }
+      else if (key == "annotations") { c.seen |= 2; ok = section_array(c, 1); }
+      else if (key == "categories") { c.seen |= 4; ok = section_array(c, 2); }
       else ok = skip_value();
       if (!ok) return false;
       ws();
@@ -337,6 +345,9 @@ void* coco_json_parse(const char* path, char* err, int errcap) {
   }
   return h;
 }
+
+// bit0 images, bit1 annotations, bit2 categories keys present in the file
+long long coco_json_seen(void* vh) { return ((Handle*)vh)->c.seen; }
 
 // section: 0 images, 1 annotations, 2 categories
 long long coco_json_count(void* vh, int section) {

@@ -39,7 +39,10 @@ class MetricWriter:
             json.dumps({"tag": tag, "value": float(value), "step": int(step), "ts": time.time()}) + "\n"
         )
         if self._tb is not None:
-            self._tb.add_scalar(tag, float(value), int(step))
+            try:
+                self._tb.add_scalar(tag, float(value), int(step))
+            except Exception:  # TB is best-effort; JSONL already written
+                pass
 
     def add_scalars(self, tag: str, values: Dict[str, float], step: int):
         for k, v in values.items():
@@ -50,8 +53,6 @@ class MetricWriter:
         if arr.size == 0:
             return
         counts, edges = np.histogram(arr, bins=bins)
-        if self._tb is not None:
-            self._tb.add_histogram(tag, arr, int(step), bins=bins)
         self._hists.write(
             json.dumps(
                 {
@@ -67,6 +68,11 @@ class MetricWriter:
             )
             + "\n"
         )
+        if self._tb is not None:
+            try:  # after JSONL: a TB failure (e.g. inf/NaN weights mid-run)
+                self._tb.add_histogram(tag, arr, int(step), bins=bins)
+            except Exception:  # must not kill training or lose the JSONL line
+                pass
 
     def add_param_histograms(self, params, step: int, skip_substr: str = "resnet",
                              max_elems: int = 65536):

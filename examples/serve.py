@@ -57,6 +57,14 @@ def build_server(service, port: int, max_body_mb: float = 10.0) -> ThreadingHTTP
                 return
             length = int(self.headers.get("Content-Length", 0))
             if length > max_body:
+                # drain (bounded) so the client can finish sending and read
+                # the 413 instead of hitting a broken pipe mid-upload
+                remaining = min(length, 8 * max_body)
+                while remaining > 0:
+                    chunk = self.rfile.read(min(remaining, 1 << 20))
+                    if not chunk:
+                        break
+                    remaining -= len(chunk)
                 self.send_error(413, f"body {length} bytes > limit {max_body}")
                 return
             body = self.rfile.read(length)
@@ -66,7 +74,11 @@ def build_server(service, port: int, max_body_mb: float = 10.0) -> ThreadingHTTP
             except Exception as e:
                 self.send_error(400, f"{type(e).__name__}: {e}")
                 return
-            result = service.caption(img, timeout=30)
+            try:
+                result = service.caption(img, timeout=30)
+            except Exception:  # reply timeout under load (queue.Empty)
+                self._json(503, {"error": "timed out waiting for a decode slot"})
+                return
             if "error" in result:
                 code = 503 if result["error"] in ("overloaded", "service closed") else 400
                 self._json(code, result)

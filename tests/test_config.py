@@ -60,3 +60,5 @@ def test_unsupported_rnn_numlayers_rejected():
         load_config(None, atten_model_name="rnn_attention", rnn_attention_numlayers=2)
     with pytest.raises(NotImplementedError):
         build_model(Config(atten_model_name="rnn_attention", rnn_attention_numlayers=2))
+    # other variants never read the knob (the reference ignores it there too)
+    load_config(None, atten_model_name="adaptive_attention", rnn_attention_numlayers=2)

@@ -95,11 +95,27 @@ def test_detection_annotations_have_empty_captions(tmp_path):
 
 
 def test_malformed_returns_none(tmp_path):
-    for bad in ['{"annotations": [{]}', '[1,2,3]', '{"a": 1} trailing', "{", ""]:
+    for bad in ['{"annotations": [{]}', '[1,2,3]', '{"a": 1} trailing',
+                "{} trailing", "{", ""]:
         p = tmp_path / "bad.json"
         p.write_text(bad)
         assert load_columns(str(p)) is None
     assert load_columns(str(tmp_path / "missing.json")) is None
+
+
+def test_non_coco_json_returns_none(tmp_path):
+    """Valid JSON without images/annotations keys is not a COCO file: the
+    caller must fall back to stdlib json (whose KeyError is the loud error),
+    not receive silently empty columns."""
+    for doc in ['{"foo": 1}', "{}", '{"categories": []}']:
+        p = tmp_path / "x.json"
+        p.write_text(doc)
+        assert load_columns(str(p)) is None
+    # image-info-only files ARE COCO files (0 annotations is real data)
+    p = tmp_path / "info.json"
+    p.write_text('{"images": [{"id": 1, "file_name": "a.jpg"}]}')
+    cols = load_columns(str(p))
+    assert cols is not None and len(cols.ann_ids) == 0
 
 
 def test_vocab_stage_uses_fast_path(tmp_path):

@@ -102,7 +102,8 @@ def test_http_front_end(service):
             return r.status, data
 
         assert req("GET", "/healthz")[0] == 200
-        assert req("GET", "/readyz")[0] == 200  # module fixture already decoded
+        service.warmup()  # force one decode so readiness holds in any test order
+        assert req("GET", "/readyz")[0] == 200
         status, data = req("GET", "/statz")
         assert status == 200 and b"batch_fill_hist" in data
 
