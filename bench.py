@@ -139,14 +139,22 @@ def _make_train_step(args):
     return step, make_host_batch
 
 
-def _bench_device_resident(step, batch, iters):
-    """N queued dispatches, one final sync (the chip-ceiling methodology)."""
-    _sync(step(batch))  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = step(batch)
-    _sync(r)
-    return (time.perf_counter() - t0) / iters
+def _bench_device_resident(step, batch, iters, profile_dir=""):
+    """N queued dispatches, one final sync (the chip-ceiling methodology).
+
+    Compile+warm runs BEFORE the profiler window so a --profile-dir trace
+    contains only steady-state device steps, not the multi-minute remote
+    compile (which would drown the trace in host-side tracing frames)."""
+    from adaptive_tpu.utils.profiling import profile_trace
+
+    _sync(step(batch))  # compile + warm (outside any profiling)
+    with profile_trace(profile_dir, enabled=bool(profile_dir)):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = step(batch)
+        _sync(r)
+        dt = (time.perf_counter() - t0) / iters
+    return dt
 
 
 def _bench_host_input(step, host_batches, prefetch):
@@ -230,8 +238,7 @@ def main():
                 dt, t_up, t_dev = _bench_host_input(step, hbs, args.prefetch)
             metric = "captions_per_sec_host_input"
         else:
-            with profile_trace(args.profile_dir, enabled=bool(args.profile_dir)):
-                dt = _bench_device_resident(step, images, args.iters)
+            dt = _bench_device_resident(step, images, args.iters, args.profile_dir)
             metric = "captions_per_sec"
         unit, anchor = "captions/s", 5000.0
     else:
@@ -245,8 +252,7 @@ def main():
             import jax
 
             batch = {k: jax.device_put(v) for k, v in make_host_batch(0).items()}
-            with profile_trace(args.profile_dir, enabled=bool(args.profile_dir)):
-                dt = _bench_device_resident(step, batch, args.iters)
+            dt = _bench_device_resident(step, batch, args.iters, args.profile_dir)
             metric = "images_per_sec_train"
         # anchor: round-1 recorded fine-tune train step (VALIDATION.md)
         unit, anchor = "img/s", 1310.0
