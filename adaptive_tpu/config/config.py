@@ -156,6 +156,12 @@ class Config:
     mesh_shape: Tuple[int, ...] = (-1, 1)
     # Gradient checkpointing for the encoder when memory-bound.
     remat_encoder: bool = False
+    # Gradient accumulation: split each batch into this many microbatches
+    # (lax.scan) and combine into the EXACT full-batch gradient (sum-of-NLL /
+    # total-valid-count — see training/step.py). Trades step time for
+    # activation memory: effective batch 512 fits where the monolithic step
+    # OOMs. 1 = off (reference semantics; it has no accumulation).
+    train_grad_accum_steps: int = 1
     # Optimizer-state placement on a mesh: "replicated" (default) or "data"
     # (ZeRO-1: Adam/SGD moments sharded over the data axis — same updates,
     # ~1/N the optimizer-state HBM per chip; parallel/mesh.py).
@@ -257,6 +263,15 @@ def _validate(cf: Config):
     if cf.opt_state_sharding not in ("replicated", "data"):
         raise ValueError(
             f"opt_state_sharding={cf.opt_state_sharding!r} — must be replicated|data"
+        )
+    if cf.train_grad_accum_steps < 1:
+        raise ValueError(
+            f"train_grad_accum_steps={cf.train_grad_accum_steps} — must be >= 1"
+        )
+    if cf.train_batch_size % max(1, cf.train_grad_accum_steps) != 0:
+        raise ValueError(
+            f"train_grad_accum_steps={cf.train_grad_accum_steps} must divide "
+            f"train_batch_size={cf.train_batch_size}"
         )
     if cf.atten_model_name == "rnn_attention" and cf.rnn_attention_numlayers != 1:
         # accepted-but-ignored knobs must fail loudly, not run silently wrong:

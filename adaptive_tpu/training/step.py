@@ -29,20 +29,27 @@ from adaptive_tpu.ops.preprocess import train_preprocess
 from adaptive_tpu.training.optim import DualOptimizer
 
 
-def masked_ce_loss(scores: jnp.ndarray, captions: jnp.ndarray, lengths: jnp.ndarray):
-    """Mean cross-entropy over valid next-token positions.
+def masked_ce_sum(scores: jnp.ndarray, captions: jnp.ndarray, lengths: jnp.ndarray):
+    """(sum of NLL over valid positions, number of valid positions).
 
     scores [B,T,V] from teacher forcing over captions [B,T]; target at step t
     is captions[:, t+1]; positions t < length-1 are valid (train.py:101-102).
-    """
+    Split from the mean so gradient accumulation can combine microbatches
+    exactly (sum/count accumulate linearly; means of means do not when
+    microbatches hold different valid-token counts)."""
     B, T, V = scores.shape
     logits = scores[:, : T - 1, :].astype(jnp.float32)
     targets = captions[:, 1:]
     mask = jnp.arange(T - 1)[None, :] < (lengths[:, None] - 1)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    n_valid = jnp.maximum(jnp.sum(mask), 1)
-    return jnp.sum(nll * mask) / n_valid
+    return jnp.sum(nll * mask), jnp.sum(mask)
+
+
+def masked_ce_loss(scores: jnp.ndarray, captions: jnp.ndarray, lengths: jnp.ndarray):
+    """Mean cross-entropy over valid next-token positions (see masked_ce_sum)."""
+    s, n = masked_ce_sum(scores, captions, lengths)
+    return s / jnp.maximum(n, 1)
 
 
 def clip_lstm_grads(grads: Dict, max_norm: float) -> Tuple[Dict, jnp.ndarray]:
@@ -72,8 +79,9 @@ def make_train_step(model, dual: DualOptimizer, cf):
     """
     crop = cf.train_crop_size
     max_norm = cf.train_lstm_maxnormal
+    accum = max(1, int(getattr(cf, "train_grad_accum_steps", 1)))
 
-    def loss_fn(params, model_state, batch, rng, encoder_on: bool):
+    def sum_loss_fn(params, model_state, batch, rng, encoder_on: bool):
         if not encoder_on:
             # Before the CNN fine-tune epoch the reference computes ResNet
             # grads and throws them away (train.py:108-115 steps only the
@@ -89,14 +97,49 @@ def make_train_step(model, dual: DualOptimizer, cf):
         scores, _, new_state = model.forward(
             params, model_state, images, batch["captions"], train=True
         )
-        loss = masked_ce_loss(scores, batch["captions"], batch["lengths"])
-        return loss, new_state
+        sum_nll, n_valid = masked_ce_sum(scores, batch["captions"], batch["lengths"])
+        return sum_nll, (n_valid, new_state)
+
+    def grads_full(params, model_state, batch, rng, encoder_on):
+        (sum_nll, (n_valid, new_state)), grads = jax.value_and_grad(
+            sum_loss_fn, has_aux=True
+        )(params, model_state, batch, rng, encoder_on)
+        n = jnp.maximum(n_valid, 1).astype(jnp.float32)
+        return jax.tree.map(lambda g: g / n, grads), sum_nll / n, new_state
+
+    def grads_accum(params, model_state, batch, rng, encoder_on):
+        """lax.scan over `accum` microbatches; grads == the full-batch gradient
+        exactly (sum-of-NLL grads and valid counts accumulate linearly, one
+        division at the end). BN running stats update once per microbatch —
+        standard grad-accumulation semantics (torch behaves the same)."""
+        B = batch["images"].shape[0]
+        assert B % accum == 0, (
+            f"train_grad_accum_steps={accum} must divide batch size {B}"
+        )
+        micro = {k: v.reshape(accum, B // accum, *v.shape[1:]) for k, v in batch.items()}
+        keys = jax.random.split(rng, accum)
+        g0 = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
+
+        def body(carry, inp):
+            g, s_nll, s_n, state = carry
+            mb, key = inp
+            (sum_nll, (n, state)), gm = jax.value_and_grad(sum_loss_fn, has_aux=True)(
+                params, state, mb, key, encoder_on
+            )
+            g = jax.tree.map(lambda a, b: a + b.astype(jnp.float32), g, gm)
+            return (g, s_nll + sum_nll, s_n + n, state), None
+
+        (g, s_nll, s_n, new_state), _ = jax.lax.scan(
+            body, (g0, jnp.float32(0), jnp.int32(0), model_state), (micro, keys)
+        )
+        n = jnp.maximum(s_n, 1).astype(jnp.float32)
+        grads = jax.tree.map(lambda a, p: (a / n).astype(p.dtype), g, params)
+        return grads, s_nll / n, new_state
 
     @partial(jax.jit, static_argnames=("encoder_on",), donate_argnums=(0, 1, 2))
     def train_step(params, model_state, opt_state, batch, rng, encoder_on: bool = False):
-        (loss, new_model_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, model_state, batch, rng, encoder_on
-        )
+        compute = grads_accum if accum > 1 else grads_full
+        grads, loss, new_model_state = compute(params, model_state, batch, rng, encoder_on)
         grads, lstm_norm = clip_lstm_grads(grads, max_norm)
 
         upd_d, new_d = dual.decoder_tx.update(grads, opt_state["decoder"], params)

@@ -110,6 +110,7 @@ def _make_train_step(args):
         vocab_length=10123,
         compute_dtype=args.dtype,
         train_batch_size=args.batch,
+        train_grad_accum_steps=args.grad_accum,
     )
     model = build_model(cf)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
@@ -217,6 +218,8 @@ def main():
     p.add_argument("--encoder-off", action="store_true",
                    help="train mode: bench the pre-fine-tune phase (no conv bwd)")
     p.add_argument("--seq-len", type=int, default=24, help="train mode caption bucket")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="train mode: microbatches per step (exact full-batch grad)")
     p.add_argument("--host-input", action="store_true",
                    help="stream uint8 batches from host RAM via device_prefetch")
     p.add_argument("--prefetch", type=int, default=2, help="device_prefetch depth")

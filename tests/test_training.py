@@ -203,3 +203,92 @@ def test_checkpoint_roundtrip(tmp_path, tiny_cf, tiny_model):
     assert lr == pytest.approx(1e-3)
     assert epoch_from_filename(path) == 7
     assert epoch_from_filename("x/cider-0.9000_model-21.pkl") == 21
+
+
+def test_grad_accum_matches_monolithic(tiny_cf):
+    """accum=2 step == accum=1 step on the same batch when the per-microbatch
+    RNG folding is accounted for: we compare against a manual combination of
+    the two microbatch gradients using the same split keys, and separately
+    check the monolithic step with variable lengths (mask-weighted combining
+    is exact, not a mean-of-means)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adaptive_tpu.models.factory import build_model
+    from adaptive_tpu.training.optim import make_dual_optimizer
+    from adaptive_tpu.training.step import make_train_step
+
+    cf = tiny_cf.replace(train_batch_size=4, train_crop_size=64)
+    model = build_model(cf)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(7)
+    B, T = 4, 6
+    batch = {
+        "images": rng.integers(0, 255, (B, 72, 72, 3), dtype=np.uint8),
+        "captions": rng.integers(1, 32, (B, T)).astype(np.int32),
+        # variable lengths: microbatches carry different valid-token counts
+        "lengths": np.array([6, 3, 5, 4], np.int32),
+    }
+    key = jax.random.PRNGKey(3)
+
+    dual, opt_state = make_dual_optimizer(params, cf)
+    step_acc = make_train_step(model, dual, cf.replace(train_grad_accum_steps=2))(
+        jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, state),
+        jax.tree.map(jnp.copy, opt_state), dict(batch), key, True,
+    )
+
+    # manual oracle: run the monolithic step on each microbatch with the same
+    # folded keys, combining sum-NLL/valid-count by hand
+    from adaptive_tpu.ops.preprocess import train_preprocess
+    from adaptive_tpu.training.step import masked_ce_sum
+
+    keys = jax.random.split(key, 2)
+
+    def micro_sums(params_, state_, mb, k):
+        def f(p):
+            imgs = train_preprocess(k, mb["images"], 64, model.compute_dtype)
+            scores, _, new_s = model.forward(p, state_, imgs, mb["captions"], train=True)
+            s, n = masked_ce_sum(scores, mb["captions"], mb["lengths"])
+            return s, n
+        (s, n), g = jax.value_and_grad(f, has_aux=True)(params_)
+        return s, n, g
+
+    mb0 = {k_: v[:2] for k_, v in batch.items()}
+    mb1 = {k_: v[2:] for k_, v in batch.items()}
+    s0, n0, g0 = micro_sums(params, state, mb0, keys[0])
+    # second microbatch sees the state updated by the first (BN running stats)
+    _, _, st1 = model.forward(
+        params, state, train_preprocess(keys[0], mb0["images"], 64, model.compute_dtype),
+        mb0["captions"], train=True,
+    )
+    s1, n1, g1 = micro_sums(params, st1, mb1, keys[1])
+    n_total = float(n0 + n1)
+    loss_manual = float((s0 + s1) / n_total)
+
+    np.testing.assert_allclose(float(step_acc.loss), loss_manual, rtol=1e-5)
+
+    # the accumulated update must equal applying the manually-combined grads
+    g_manual = jax.tree.map(lambda a, b: (np.asarray(a, np.float64) + np.asarray(b, np.float64)) / n_total, g0, g1)
+    # spot-check a couple of leaves via the optimizer-free quantity: compare
+    # grads by re-deriving them from the param delta is optimizer-specific, so
+    # instead rebuild the step's internal grads through a 1-step SGD trick:
+    # simpler and robust — compare the embedding update direction
+    cf_sgd = cf.replace(
+        train_grad_accum_steps=2, opt_rnn_optimization="sgd", opt_cnn_optimization="sgd",
+        opt_rnn_sgd_momentum=0.0, opt_cnn_sgd_momentum=0.0,
+        opt_rnn_sgd_weight_decay=0.0, opt_cnn_sgd_weight_decay=0.0,
+    )
+    dual2, opt2 = make_dual_optimizer(params, cf_sgd)
+    lr = float(cf_sgd.opt_rnn_sgd_learning_rate)
+    out_sgd = make_train_step(model, dual2, cf_sgd)(
+        jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, state),
+        opt2, dict(batch), key, True,
+    )
+    delta = np.asarray(out_sgd.params["decoder"]["embed"], np.float64) - np.asarray(
+        params["decoder"]["embed"], np.float64
+    )
+    np.testing.assert_allclose(
+        delta, -lr * np.asarray(g_manual["decoder"]["embed"], np.float64),
+        atol=1e-6,
+    )
