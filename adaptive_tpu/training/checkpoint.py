@@ -62,13 +62,79 @@ def save_checkpoint(
     opt_state: Any = None,
     metadata: Optional[Dict] = None,
 ):
-    """Write checkpoint dir: model.npz (+opt.npz) + manifest.json."""
-    os.makedirs(path, exist_ok=True)
-    np.savez(os.path.join(path, "model.npz"), **_flatten({"params": params, "state": model_state}))
-    if opt_state is not None:
-        np.savez(os.path.join(path, "opt.npz"), **_flatten(opt_state))
-    with open(os.path.join(path, "manifest.json"), "w") as f:
+    """Write checkpoint dir: model.npz (+opt.npz) + manifest.json.
+
+    Atomic: everything lands in '<path>.tmp' which is renamed into place, so
+    a crash mid-write can never leave a half-readable checkpoint (restore
+    paths only ever see complete directories)."""
+    flat_model = _flatten({"params": params, "state": model_state})
+    flat_opt = _flatten(opt_state) if opt_state is not None else None
+    _write_checkpoint_files(path, flat_model, flat_opt, metadata)
+
+
+def _write_checkpoint_files(path, flat_model, flat_opt, metadata):
+    path = path.rstrip("/")
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    np.savez(os.path.join(tmp, "model.npz"), **flat_model)
+    if flat_opt is not None:
+        np.savez(os.path.join(tmp, "opt.npz"), **flat_opt)
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
         json.dump(metadata or {}, f, indent=2, default=str)
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint serialization/IO with training (orbax-style).
+
+    save() fetches arrays to host on the caller's thread (required: the train
+    step donates its buffers, so device arrays must be copied out before the
+    next step reuses them) and hands the npz/manifest writes to a background
+    thread. At most one write is in flight — a second save() waits for the
+    first, bounding host memory to one checkpoint. wait() joins the pending
+    write; always call it before reading checkpoints back or exiting.
+
+    The reference blocks training for the full torch.save each epoch
+    (train.py:176-178); here the step only pays for the device->host fetch.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._thread: Optional["threading.Thread"] = None
+        self._error: Optional[BaseException] = None
+
+    def save(self, path, params, model_state, opt_state=None, metadata=None):
+        import threading
+
+        self.wait()  # one in-flight write max; surfaces prior write errors
+        flat_model = _flatten({"params": params, "state": model_state})
+        flat_opt = _flatten(opt_state) if opt_state is not None else None
+
+        def work():
+            try:
+                _write_checkpoint_files(path, flat_model, flat_opt, metadata)
+            except BaseException as e:  # surfaced on the next save()/wait()
+                self._error = e
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
 
 
 def restore_model(path: str, params_template: Any, state_template: Any) -> Tuple[Any, Any]:

@@ -57,6 +57,7 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
     rng, init_key = jax.random.split(rng)
     model, params, state, start_epoch = get_model(cf, init_key)
     dual, opt_state = make_dual_optimizer(params, cf)
+    ckpt_saver = ckpt.AsyncCheckpointer()
 
     if mesh is None and len(jax.devices()) > 1:
         candidate = make_mesh(cf)
@@ -215,8 +216,10 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
                 final_params, final_state = params, state
                 break
 
-        # per-epoch checkpoint (train.py:176-178), plus full resume payload
-        ckpt.save_checkpoint(
+        # per-epoch checkpoint (train.py:176-178), plus full resume payload;
+        # async: the step only pays the device->host fetch, npz IO overlaps
+        # the next epoch (checkpoint.AsyncCheckpointer)
+        ckpt_saver.save(
             os.path.join(trained_model_path, ckpt.checkpoint_name(cider, epoch)),
             params,
             state,
@@ -232,6 +235,7 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
         )
         final_params, final_state = params, state
 
+    ckpt_saver.wait()  # all checkpoints durable before the run reports done
     writer.close()
     print("Model of best epoch #: %d with CIDEr score %.2f" % (best_epoch, best_cider))
     figure_loss(cf, train_epoch_losses)

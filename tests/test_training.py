@@ -292,3 +292,45 @@ def test_grad_accum_matches_monolithic(tiny_cf):
         delta, -lr * np.asarray(g_manual["decoder"]["embed"], np.float64),
         atol=1e-6,
     )
+
+
+def test_async_checkpointer_and_atomicity(tmp_path, tiny_cf, tiny_model):
+    """AsyncCheckpointer: background write lands the same bytes, saves are
+    atomic (no .tmp visible after wait, overwrite of an existing dir works),
+    and write errors surface on the next wait()."""
+    import os
+
+    from adaptive_tpu.training.checkpoint import AsyncCheckpointer
+
+    _, params, state = tiny_model
+    dual, opt_state = make_dual_optimizer(params, tiny_cf)
+
+    saver = AsyncCheckpointer()
+    path = str(tmp_path / checkpoint_name(0.25, 1))
+    saver.save(path, params, state, opt_state, {"epoch": 1})
+    saver.wait()
+    assert os.path.isdir(path) and not os.path.exists(path + ".tmp")
+
+    zeroed = jax.tree.map(jnp.zeros_like, params)
+    p2, _ = restore_model(path, zeroed, jax.tree.map(jnp.zeros_like, state))
+    np.testing.assert_allclose(
+        np.asarray(p2["decoder"]["embed"]), np.asarray(params["decoder"]["embed"])
+    )
+
+    # overwrite the same path (atomic replace, second save waits for first)
+    bumped = jax.tree.map(lambda x: x + 1, params)
+    saver.save(path, bumped, state, None, {"epoch": 2})
+    saver.save(str(tmp_path / checkpoint_name(0.5, 2)), params, state)
+    saver.wait()
+    p3, _ = restore_model(path, zeroed, jax.tree.map(jnp.zeros_like, state))
+    np.testing.assert_allclose(
+        np.asarray(p3["decoder"]["embed"]),
+        np.asarray(params["decoder"]["embed"]) + 1,
+    )
+
+    # an IO failure in the background thread surfaces on wait()
+    file_path = tmp_path / "not_a_dir"
+    file_path.write_text("x")
+    saver.save(str(file_path / "child"), params, state)  # mkdir under a file
+    with pytest.raises(Exception):
+        saver.wait()
