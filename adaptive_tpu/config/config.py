@@ -156,6 +156,13 @@ class Config:
     mesh_shape: Tuple[int, ...] = (-1, 1)
     # Gradient checkpointing for the encoder when memory-bound.
     remat_encoder: bool = False
+    # Auto-resume (preemptible-run recovery): when set, training scans this
+    # directory for the highest-epoch complete checkpoint and resumes from it
+    # (full state: params, BN, optimizer moments, scheduler); when the
+    # directory is empty or missing it starts fresh — the SAME config works
+    # for the first start and every restart after preemption. The reference
+    # requires hand-editing train_pretrained_model (cfg_wzn.py:22-23).
+    train_auto_resume_dir: str = ""
     # Gradient accumulation: split each batch into this many microbatches
     # (lax.scan) and combine into the EXACT full-batch gradient (sum-of-NLL /
     # total-valid-count — see training/step.py). Trades step time for

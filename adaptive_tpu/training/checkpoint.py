@@ -162,6 +162,27 @@ def checkpoint_name(cider: float, epoch: int) -> str:
     return "cider-%.4f_model-%d" % (cider, epoch)
 
 
+def find_latest_checkpoint(directory: str) -> Optional[str]:
+    """Path of the highest-epoch complete checkpoint dir under `directory`.
+
+    Matches the 'cider-X.XXXX_model-N' naming contract; in-flight '.tmp'
+    staging dirs (AsyncCheckpointer) are never matched, so a checkpoint
+    interrupted mid-write is invisible here. Returns None when the directory
+    does not exist or holds no checkpoints — auto-resume's fresh-start case.
+    """
+    if not directory or not os.path.isdir(directory):
+        return None
+    best: Tuple[int, str] = (-1, "")
+    for name in os.listdir(directory):
+        if name.endswith(".tmp"):
+            continue
+        m = re.search(r"model-(\d+)$", name)
+        full = os.path.join(directory, name)
+        if m and os.path.isdir(full) and int(m.group(1)) > best[0]:
+            best = (int(m.group(1)), full)
+    return best[1] or None
+
+
 def epoch_from_filename(path: str) -> int:
     """Parse epoch N from '...model-N[.*]' (model_factory.py:19)."""
     m = re.search(r"model-(\d+)", os.path.basename(path.rstrip("/")))

@@ -37,11 +37,26 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
     """Returns (params, state, best_cider, best_epoch)."""
     rng = jax.random.PRNGKey(cf.train_random_seed)  # train.py:18-20
 
-    trained_model_path = os.path.join(cf.exp_dir or ".", "trained_models")
+    # With auto-resume, checkpoints must land where the next restart scans —
+    # a stable dir across runs, not this run's timestamped exp_dir.
+    trained_model_path = cf.train_auto_resume_dir or os.path.join(
+        cf.exp_dir or ".", "trained_models"
+    )
     os.makedirs(trained_model_path, exist_ok=True)
 
     vocab = Vocabulary.load(cf.vocab_path)
     cf = cf.replace(vocab_length=len(vocab))
+
+    if cf.train_auto_resume_dir and not cf.train_pretrained:
+        # Preemptible-run recovery: resume from the newest complete checkpoint
+        # in the given dir (full state via the blocks below), or start fresh
+        # if there is none — one config for first start and every restart.
+        latest = ckpt.find_latest_checkpoint(cf.train_auto_resume_dir)
+        if latest:
+            print("auto-resume: found checkpoint", latest)
+            cf = cf.replace(train_pretrained=True, train_pretrained_model=latest)
+        else:
+            print("auto-resume: no checkpoint in", cf.train_auto_resume_dir, "- fresh start")
 
     if dataset is None:
         dataset = CocoCaptionDataset(cf.resized_image_dir, cf.train_anno_path, vocab)

@@ -190,3 +190,64 @@ def test_plateau_scheduler_rescales_lbfgs_lr(tiny_cf):
     out0 = step(params, state, zeroed, batch, jax.random.PRNGKey(1), False)
     np.testing.assert_array_equal(np.asarray(out0.params["decoder"]["embed"]),
                                   np.asarray(params["decoder"]["embed"]))
+
+
+def test_find_latest_checkpoint(tmp_path):
+    from adaptive_tpu.training.checkpoint import find_latest_checkpoint
+
+    assert find_latest_checkpoint(str(tmp_path / "missing")) is None
+    assert find_latest_checkpoint(str(tmp_path)) is None
+    for name in ["cider-0.1000_model-1", "cider-0.3000_model-3", "cider-0.2000_model-2"]:
+        (tmp_path / name).mkdir()
+    (tmp_path / "cider-0.9000_model-9.tmp").mkdir()  # in-flight: ignored
+    (tmp_path / "notes.txt").write_text("x")
+    best = find_latest_checkpoint(str(tmp_path))
+    assert best.endswith("cider-0.3000_model-3")
+
+
+def test_auto_resume_cycle(tmp_path, tiny_cf):
+    """Same config twice: first run trains epoch 1 from scratch; second run
+    auto-resumes from the stable checkpoint dir and continues at epoch 2."""
+    import io
+    from contextlib import redirect_stdout
+
+    import jax
+
+    from adaptive_tpu.data.coco_api import COCO
+    from adaptive_tpu.data.synthetic import make_synthetic_dataset
+    from adaptive_tpu.data.vocab import build_vocab
+    from adaptive_tpu.training import main_train
+
+    ann, resized = make_synthetic_dataset(str(tmp_path), num_images=8, image_size=72, seed=11)
+    coco = COCO(ann)
+    vocab = build_vocab((a["caption"] for a in coco.anns.values()), threshold=1)
+    vocab_path = str(tmp_path / "vocab.json")
+    vocab.save(vocab_path)
+    stable = str(tmp_path / "ckpts")
+
+    def run(num_epochs):
+        cf = tiny_cf.replace(
+            vocab_path=vocab_path, vocab_length=len(vocab), resized_image_dir=resized,
+            train_anno_path=ann, val_anno_path=ann, train_eval_anno_path=ann,
+            exp_dir=str(tmp_path / f"exp{num_epochs}"), train_num_epochs=num_epochs,
+            train_batch_size=4, train_evalOrnot=False, dataloader_num_workers=2,
+            train_log_step=1000, train_tb_interval_batches=10000,
+            train_auto_resume_dir=stable,
+        )
+        os.makedirs(cf.exp_dir, exist_ok=True)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out = main_train(cf)
+        return out, buf.getvalue()
+
+    (_, _, _, _), log1 = run(1)
+    assert "fresh start" in log1 and "Epoch 1" in log1
+    ckpts = os.listdir(stable)
+    assert any("model-1" in c for c in ckpts)
+
+    (_, _, _, _), log2 = run(2)  # "restart after preemption"
+    assert "auto-resume: found checkpoint" in log2
+    assert "resumed optimizer state" in log2
+    assert "#------------------Training for Epoch 2" in log2
+    assert "#------------------Training for Epoch 1" not in log2  # skips done work
+    assert any("model-2" in c for c in os.listdir(stable))
