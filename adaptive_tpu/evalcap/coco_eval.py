@@ -54,10 +54,28 @@ def decode_split(
     dataset = EvalImageDataset(cf.resized_image_dir, ann_path)
     batches = EvalBatches(dataset, cf.eval_batch_size, cf.dataloader_num_workers)
 
+    # SPMD eval: on a multi-device mesh, shard each (fixed-size, padded)
+    # eval batch over the data axis — the jitted decode then runs data
+    # parallel with replicated params, same as the train step. The reference
+    # wraps the encoder in DataParallel inside sampler
+    # (adaptive_attention.py:178-181); here it's one sharding annotation.
+    shard_images = lambda imgs: imgs
+    import jax as _jax
+
+    if len(_jax.devices()) > 1:
+        from adaptive_tpu.parallel import make_mesh
+        from adaptive_tpu.parallel.mesh import data_sharding
+
+        mesh = make_mesh(cf)
+        data_n = mesh.shape[cf.mesh_axes[0]]
+        if cf.eval_batch_size % data_n == 0:
+            ds = data_sharding(mesh)
+            shard_images = lambda imgs: _jax.device_put(imgs, ds)
+
     results: List[Dict] = []
     seen = set()
     for i, batch in enumerate(batches):
-        out = decoder(params, state, batch["images"])
+        out = decoder(params, state, shard_images(batch["images"]))
         ids = np.asarray(out.ids if hasattr(out, "ids") else out[0])
         for row in range(ids.shape[0]):
             if not batch["valid"][row]:

@@ -164,6 +164,47 @@ def test_zero1_train_step_matches_replicated(tiny_cf):
     )
 
 
+def test_sharded_eval_decode_matches_single_device(tiny_cf):
+    """Greedy decode with the eval batch sharded over 'data' == unsharded."""
+    from adaptive_tpu.decoding import make_greedy_decoder
+    from adaptive_tpu.models.factory import build_model
+    from adaptive_tpu.parallel.mesh import data_sharding
+
+    cf = tiny_cf.replace(vocab_length=32, mesh_shape=(8, 1), eval_batch_size=8)
+    model = build_model(cf)
+    params, state = model.init(jax.random.PRNGKey(0))
+    decode = make_greedy_decoder(model, cf)
+    imgs = np.random.default_rng(4).integers(0, 255, (8, 72, 72, 3), dtype=np.uint8)
+
+    out_single = decode(params, state, jnp.asarray(imgs))
+    mesh = make_mesh(cf)
+    sharded = jax.device_put(jnp.asarray(imgs), data_sharding(mesh))
+    out_sharded = decode(params, state, sharded)
+    np.testing.assert_array_equal(np.asarray(out_single.ids), np.asarray(out_sharded.ids))
+
+
+def test_coco_eval_engages_mesh_sharding(tmp_path, tiny_cf):
+    """decode_split shards eval batches when the batch divides the data axis."""
+    from adaptive_tpu.data.synthetic import make_synthetic_dataset
+    from adaptive_tpu.data.vocab import build_vocab
+    from adaptive_tpu.data.coco_api import COCO
+    from adaptive_tpu.evalcap.coco_eval import coco_eval
+    from adaptive_tpu.models.factory import build_model
+
+    ann, resized = make_synthetic_dataset(str(tmp_path), num_images=8, image_size=72, seed=6)
+    coco = COCO(ann)
+    vocab = build_vocab((a["caption"] for a in coco.anns.values()), threshold=1)
+    cf = tiny_cf.replace(
+        vocab_length=len(vocab), resized_image_dir=resized, val_anno_path=ann,
+        eval_batch_size=8, decode_max_len=5, exp_dir=str(tmp_path),
+        dataloader_num_workers=2, mesh_shape=(8, 1),
+    )
+    model = build_model(cf)
+    params, state = model.init(jax.random.PRNGKey(0))
+    cider = coco_eval(cf, model, params, state, epoch=1, vocab=vocab)
+    assert np.isfinite(cider)
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
