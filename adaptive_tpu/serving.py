@@ -49,7 +49,8 @@ class CaptionService:
 
     def __init__(self, cf, vocab, params=None, state=None, checkpoint: str = "",
                  batch_size: Optional[int] = None, max_wait_ms: float = 5.0,
-                 max_queue: Optional[int] = None):
+                 max_queue: Optional[int] = None,
+                 calibration_images: Optional[np.ndarray] = None):
         import jax
 
         from adaptive_tpu.decoding import make_beam_decoder, make_greedy_decoder
@@ -68,6 +69,27 @@ class CaptionService:
 
                 params, state = ckpt.restore_model(checkpoint, params, state)
         self.params, self.state = params, state
+        if self.cf.encoder_quant == "int8":
+            # static PTQ needs representative data; refusing beats silently
+            # serving with garbage scales from zeros (quality gate is on the
+            # calibration set: tests/test_int8.py).
+            if calibration_images is None:
+                raise ValueError(
+                    "encoder_quant='int8' requires calibration_images "
+                    "(uint8 [N,S,S,3], a representative sample)"
+                )
+            from adaptive_tpu.models.infer import calibrate_int8
+            from adaptive_tpu.ops.preprocess import eval_preprocess
+            import jax.numpy as jnp
+
+            calib = eval_preprocess(
+                jnp.asarray(calibration_images), self.cf.train_crop_size, jnp.float32
+            )
+            self.model = self.model._replace(
+                int8_scales=calibrate_int8(
+                    params["encoder"], state, calib, self.cf.encoder_backbone
+                )
+            )
         self.decode = (
             make_beam_decoder(self.model, self.cf)
             if self.cf.beam_size > 1

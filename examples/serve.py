@@ -103,6 +103,11 @@ def main():
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max-body-mb", type=float, default=10.0,
                     help="reject request bodies larger than this (413)")
+    ap.add_argument("--quant", default="none", choices=["none", "int8"],
+                    help="encoder quantization (int8 needs --calib-glob)")
+    ap.add_argument("--calib-glob", default="",
+                    help="glob of images for int8 PTQ calibration (e.g. 'data/resized/val2014/*.jpg')")
+    ap.add_argument("--calib-n", type=int, default=32)
     args = ap.parse_args()
 
     from adaptive_tpu.config import Config, load_config
@@ -119,7 +124,22 @@ def main():
             eval_batch_size=args.batch,
             beam_size=args.beam,
         )
-    service = CaptionService(cf, vocab, checkpoint=args.checkpoint, batch_size=args.batch)
+    cf = cf.replace(encoder_quant=args.quant)
+    calib = None
+    if args.quant == "int8":
+        import glob as globlib
+
+        from PIL import Image
+
+        paths = sorted(globlib.glob(args.calib_glob))[: args.calib_n]
+        if not paths:
+            raise SystemExit("--quant int8 needs --calib-glob matching images")
+        s = cf.resized_image_size
+        calib = np.stack(
+            [np.asarray(Image.open(p).convert("RGB").resize((s, s)), np.uint8) for p in paths]
+        )
+    service = CaptionService(cf, vocab, checkpoint=args.checkpoint,
+                             batch_size=args.batch, calibration_images=calib)
     print("compiling...")
     service.warmup()
     server = build_server(service, args.port, args.max_body_mb)

@@ -120,6 +120,31 @@ def test_http_front_end(service):
         server.server_close()
 
 
+def test_int8_serving_requires_and_uses_calibration(tiny_cf):
+    """encoder_quant='int8' without calibration images fails loudly; with
+    them, the service decodes through the static-PTQ encoder."""
+    from adaptive_tpu.data.vocab import SPECIALS, Vocabulary
+    from adaptive_tpu.serving import CaptionService
+
+    vocab = Vocabulary(SPECIALS + [f"w{i}" for i in range(28)])
+    cf = tiny_cf.replace(
+        vocab_length=len(vocab), eval_batch_size=2, decode_max_len=4,
+        encoder_quant="int8",
+    )
+    with pytest.raises(ValueError, match="calibration_images"):
+        CaptionService(cf, vocab, batch_size=2)
+
+    rng = np.random.default_rng(9)
+    calib = rng.integers(0, 255, (4, 72, 72, 3), dtype=np.uint8)
+    svc = CaptionService(cf, vocab, batch_size=2, calibration_images=calib)
+    try:
+        out = svc.caption(calib[0], timeout=180)
+        assert "caption" in out
+        assert svc.model.int8_scales  # scales actually baked in
+    finally:
+        svc.close()
+
+
 def test_overload_shedding(tiny_cf):
     """A full queue sheds with an 'overloaded' error instead of blocking."""
     from adaptive_tpu.data.vocab import SPECIALS, Vocabulary
