@@ -42,10 +42,21 @@ def device_op_summary(events: List[dict], iters: int = 1) -> List[Tuple[str, flo
     Categories strip trailing `.N` ids so all instances of e.g. a fused conv
     aggregate together.
     """
+    # A device op shows up in several lanes of the same trace ("XLA Modules",
+    # "XLA Ops", sometimes "Steps"), so summing every X event double-counts.
+    # Prefer the "XLA Ops" lanes when present (thread_name metadata).
+    lane_name: Dict[Tuple, str] = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            lane_name[(e.get("pid"), e.get("tid"))] = e.get("args", {}).get("name", "")
+    ops_lanes = {k for k, v in lane_name.items() if "XLA Ops" in v}
+
     agg: Dict[str, float] = defaultdict(float)
     cnt: Dict[str, int] = defaultdict(int)
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if ops_lanes and (e.get("pid"), e.get("tid")) not in ops_lanes:
             continue
         name = e.get("name", "")
         if not name or any(name.startswith(p) for p in _HOST_PREFIXES):
