@@ -280,6 +280,14 @@ def _validate(cf: Config):
             f"train_grad_accum_steps={cf.train_grad_accum_steps} must divide "
             f"train_batch_size={cf.train_batch_size}"
         )
+    if cf.train_grad_accum_steps > 1 and "lbfgs" in (
+        cf.opt_rnn_optimization, cf.opt_cnn_optimization
+    ):
+        # the L-BFGS closure step (training/lbfgs.py) is monolithic; accepting
+        # the knob there would silently skip the requested microbatching
+        raise NotImplementedError(
+            "train_grad_accum_steps > 1 is not supported with lbfgs optimizer groups"
+        )
     if cf.atten_model_name == "rnn_attention" and cf.rnn_attention_numlayers != 1:
         # accepted-but-ignored knobs must fail loudly, not run silently wrong:
         # only the 1-layer attention LSTM is implemented (ops/attention.py:91-121;

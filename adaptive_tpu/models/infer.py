@@ -185,6 +185,20 @@ def resnet_apply_folded_int8(
     return y
 
 
+def calibrate_model(model, cf, params, state, images_u8):
+    """One-call int8 calibration: uint8 images -> model with baked scales.
+
+    The single owner of the calibration contract (fp32 eval preprocess at
+    train_crop_size, encoder subtree, backbone arch) shared by serving,
+    bench, and tests — keep those call sites on this helper so a preprocessing
+    change cannot ship mis-scaled int8 anywhere."""
+    from adaptive_tpu.ops.preprocess import eval_preprocess
+
+    calib = eval_preprocess(jnp.asarray(images_u8), cf.train_crop_size, jnp.float32)
+    scales = calibrate_int8(params["encoder"], state, calib, cf.encoder_backbone)
+    return model._replace(int8_scales=scales)
+
+
 def calibrate_int8(enc_params: Dict, state: Dict, images, arch: str) -> Dict[str, float]:
     """One-shot PTQ calibration: run a representative (preprocessed float)
     batch through the folded fp32 forward recording each conv input's

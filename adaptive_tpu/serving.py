@@ -78,17 +78,10 @@ class CaptionService:
                     "encoder_quant='int8' requires calibration_images "
                     "(uint8 [N,S,S,3], a representative sample)"
                 )
-            from adaptive_tpu.models.infer import calibrate_int8
-            from adaptive_tpu.ops.preprocess import eval_preprocess
-            import jax.numpy as jnp
+            from adaptive_tpu.models.infer import calibrate_model
 
-            calib = eval_preprocess(
-                jnp.asarray(calibration_images), self.cf.train_crop_size, jnp.float32
-            )
-            self.model = self.model._replace(
-                int8_scales=calibrate_int8(
-                    params["encoder"], state, calib, self.cf.encoder_backbone
-                )
+            self.model = calibrate_model(
+                self.model, self.cf, params, state, calibration_images
             )
         self.decode = (
             make_beam_decoder(self.model, self.cf)

@@ -73,11 +73,11 @@ def save_checkpoint(
 
 
 def _write_checkpoint_files(path, flat_model, flat_opt, metadata):
+    import shutil
+
     path = path.rstrip("/")
     tmp = path + ".tmp"
     if os.path.exists(tmp):
-        import shutil
-
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
     np.savez(os.path.join(tmp, "model.npz"), **flat_model)
@@ -86,10 +86,23 @@ def _write_checkpoint_files(path, flat_model, flat_opt, metadata):
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
         json.dump(metadata or {}, f, indent=2, default=str)
     if os.path.exists(path):
-        import shutil
-
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+        # Overwrite via swap: the existing checkpoint is parked at '.old'
+        # (invisible to find_latest_checkpoint, like '.tmp') and removed only
+        # after the new one is fully in place — no crash window destroys data.
+        # Refuse to replace a directory that isn't a checkpoint (protects
+        # arbitrary destinations from deletion).
+        if os.path.isdir(path) and not os.path.exists(os.path.join(path, "model.npz")):
+            raise ValueError(
+                f"{path} exists and is not a checkpoint dir; refusing to replace"
+            )
+        old = path + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.replace(path, old)
+        os.replace(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.replace(tmp, path)
 
 
 class AsyncCheckpointer:
@@ -125,7 +138,10 @@ class AsyncCheckpointer:
             except BaseException as e:  # surfaced on the next save()/wait()
                 self._error = e
 
-        self._thread = threading.Thread(target=work, daemon=True)
+        # non-daemon: if the main thread dies (OOM, eval crash) the interpreter
+        # still joins this thread at exit, so the in-flight checkpoint lands —
+        # the synchronous path's durability, without blocking the epoch.
+        self._thread = threading.Thread(target=work, daemon=False)
         self._thread.start()
 
     def wait(self):

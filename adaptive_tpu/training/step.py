@@ -118,7 +118,28 @@ def make_train_step(model, dual: DualOptimizer, cf):
         )
         micro = {k: v.reshape(accum, B // accum, *v.shape[1:]) for k, v in batch.items()}
         keys = jax.random.split(rng, accum)
-        g0 = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
+
+        # With the encoder frozen its grads are identically zero (stop_gradient
+        # above): keep the ~230 MB f32 ResNet subtree OUT of the scan carry —
+        # this is exactly the memory-bound regime accumulation exists for.
+        # encoder_on is static, so plain Python branching here.
+        if encoder_on:
+            prune = lambda t: t
+            unprune = lambda g: g
+        else:
+            prune = lambda t: {
+                **t, "encoder": {k: v for k, v in t["encoder"].items() if k != "resnet"}
+            }
+            unprune = lambda g: {
+                **g,
+                "encoder": {
+                    **g["encoder"],
+                    "resnet": jax.tree.map(
+                        lambda p: jnp.zeros_like(p), params["encoder"]["resnet"]
+                    ),
+                },
+            }
+        g0 = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), prune(params))
 
         def body(carry, inp):
             g, s_nll, s_n, state = carry
@@ -126,15 +147,15 @@ def make_train_step(model, dual: DualOptimizer, cf):
             (sum_nll, (n, state)), gm = jax.value_and_grad(sum_loss_fn, has_aux=True)(
                 params, state, mb, key, encoder_on
             )
-            g = jax.tree.map(lambda a, b: a + b.astype(jnp.float32), g, gm)
+            g = jax.tree.map(lambda a, b: a + b.astype(jnp.float32), g, prune(gm))
             return (g, s_nll + sum_nll, s_n + n, state), None
 
         (g, s_nll, s_n, new_state), _ = jax.lax.scan(
             body, (g0, jnp.float32(0), jnp.int32(0), model_state), (micro, keys)
         )
         n = jnp.maximum(s_n, 1).astype(jnp.float32)
-        grads = jax.tree.map(lambda a, p: (a / n).astype(p.dtype), g, params)
-        return grads, s_nll / n, new_state
+        grads = jax.tree.map(lambda a, p: (a / n).astype(p.dtype), g, prune(params))
+        return unprune(grads), s_nll / n, new_state
 
     @partial(jax.jit, static_argnames=("encoder_on",), donate_argnums=(0, 1, 2))
     def train_step(params, model_state, opt_state, batch, rng, encoder_on: bool = False):

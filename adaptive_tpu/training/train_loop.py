@@ -47,14 +47,20 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
     vocab = Vocabulary.load(cf.vocab_path)
     cf = cf.replace(vocab_length=len(vocab))
 
-    if cf.train_auto_resume_dir and not cf.train_pretrained:
+    if cf.train_auto_resume_dir:
         # Preemptible-run recovery: resume from the newest complete checkpoint
         # in the given dir (full state via the blocks below), or start fresh
         # if there is none — one config for first start and every restart.
+        # A checkpoint here always outranks train_pretrained_model: that is
+        # the cold-start base (e.g. a released fine-tune source); the resume
+        # dir holds THIS job's own later progress.
         latest = ckpt.find_latest_checkpoint(cf.train_auto_resume_dir)
         if latest:
             print("auto-resume: found checkpoint", latest)
             cf = cf.replace(train_pretrained=True, train_pretrained_model=latest)
+        elif cf.train_pretrained and cf.train_pretrained_model:
+            print("auto-resume: no checkpoint yet - starting from",
+                  cf.train_pretrained_model)
         else:
             print("auto-resume: no checkpoint in", cf.train_auto_resume_dir, "- fresh start")
 
@@ -108,6 +114,12 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
         ckpt_dir = cf.train_pretrained_model
         if os.path.exists(os.path.join(ckpt_dir, "opt.npz")):
             opt_state = ckpt.restore_opt_state(ckpt_dir, opt_state)
+            if mesh is not None and cf.opt_state_sharding == "data":
+                # restore returns host arrays; re-place the ZeRO-1 shardings
+                # or the resumed run replicates the moments it was sized for
+                from adaptive_tpu.parallel import shard_opt_state
+
+                opt_state = shard_opt_state(opt_state, mesh)
             print("resumed optimizer state from", ckpt_dir)
         meta = {}
         if os.path.exists(os.path.join(ckpt_dir, "manifest.json")):

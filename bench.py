@@ -76,13 +76,9 @@ def _make_decode_step(args):
 
     if args.quant == "int8":
         # static PTQ scales: calibrate once on a slice, bake as constants
-        from adaptive_tpu.models.infer import calibrate_int8
-        from adaptive_tpu.ops.preprocess import eval_preprocess
+        from adaptive_tpu.models.infer import calibrate_model
 
-        calib = eval_preprocess(images[: min(32, args.batch)], 224, jnp.float32)
-        model = model._replace(
-            int8_scales=calibrate_int8(params["encoder"], state, calib, args.backbone)
-        )
+        model = calibrate_model(model, cf, params, state, images[: min(32, args.batch)])
 
     decode = (
         make_beam_decoder(model, cf) if args.beam > 1 else make_greedy_decoder(model, cf)

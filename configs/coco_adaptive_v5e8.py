@@ -37,6 +37,10 @@ compute_dtype = "bfloat16"
 # 8 chips as 4-way data parallel x 2-way tensor parallel: the batch splits
 # over 'data'; the 10240-padded vocab embedding/head split over 'model'.
 mesh_shape = (-1, 2)
+# TP requires the vocab dim divisible by the model axis: pad 10,123 -> 10,240
+# (also the MXU lane alignment). Without this, TP silently degrades to
+# replication (parallel/mesh.py divisibility guard).
+vocab_pad_multiple = 128
 # ZeRO-1: Adam moments sharded over the data axis (~1/4 the optimizer HBM
 # per chip, numerically identical updates — parallel/mesh.py).
 opt_state_sharding = "data"

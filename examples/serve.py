@@ -103,8 +103,9 @@ def main():
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max-body-mb", type=float, default=10.0,
                     help="reject request bodies larger than this (413)")
-    ap.add_argument("--quant", default="none", choices=["none", "int8"],
-                    help="encoder quantization (int8 needs --calib-glob)")
+    ap.add_argument("--quant", default=None, choices=["none", "int8"],
+                    help="encoder quantization (int8 needs --calib-glob); "
+                         "defaults to the config file's encoder_quant")
     ap.add_argument("--calib-glob", default="",
                     help="glob of images for int8 PTQ calibration (e.g. 'data/resized/val2014/*.jpg')")
     ap.add_argument("--calib-n", type=int, default=32)
@@ -124,9 +125,10 @@ def main():
             eval_batch_size=args.batch,
             beam_size=args.beam,
         )
-    cf = cf.replace(encoder_quant=args.quant)
+    if args.quant is not None:  # only override when explicitly passed
+        cf = cf.replace(encoder_quant=args.quant)
     calib = None
-    if args.quant == "int8":
+    if cf.encoder_quant == "int8":
         import glob as globlib
 
         from PIL import Image

@@ -334,3 +334,63 @@ def test_async_checkpointer_and_atomicity(tmp_path, tiny_cf, tiny_model):
     saver.save(str(file_path / "child"), params, state)  # mkdir under a file
     with pytest.raises(Exception):
         saver.wait()
+
+
+def test_grad_accum_encoder_off_matches_monolithic(tiny_cf):
+    """Pre-fine-tune (encoder frozen) accumulation: the pruned-carry path
+    yields the same decoder updates as monolithic, and zero resnet movement."""
+    import jax
+    import jax.numpy as jnp
+
+    from adaptive_tpu.models.factory import build_model
+    from adaptive_tpu.training.step import make_train_step
+
+    cf = tiny_cf.replace(
+        train_batch_size=4, opt_rnn_optimization="sgd", opt_cnn_optimization="sgd",
+        opt_rnn_sgd_momentum=0.0, opt_rnn_sgd_weight_decay=0.0,
+    )
+    model = build_model(cf)
+    params, state = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(8)
+    batch = {
+        "images": rng.integers(0, 255, (4, 72, 72, 3), dtype=np.uint8),
+        "captions": rng.integers(1, 32, (4, 6)).astype(np.int32),
+        "lengths": np.array([6, 4, 5, 3], np.int32),
+    }
+    key = jax.random.PRNGKey(5)
+
+    outs = {}
+    for accum in (1, 2):
+        dual, opt_state = make_dual_optimizer(params, cf)
+        step = make_train_step(model, dual, cf.replace(train_grad_accum_steps=accum))
+        outs[accum] = step(
+            jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, state),
+            opt_state, dict(batch), key, False,  # encoder_on=False
+        )
+    # frozen resnet must not move under accumulation
+    k0 = next(iter(params["encoder"]["resnet"]))
+    leaf = lambda t: np.asarray(jax.tree.leaves(t["encoder"]["resnet"][k0])[0])
+    np.testing.assert_array_equal(leaf(outs[2].params), leaf({"encoder": {"resnet": params["encoder"]["resnet"]}}))
+    assert np.isfinite(float(outs[2].loss))
+    # NOTE: accum=1 vs accum=2 losses differ only via BN-stat microbatching in
+    # the forward; grads were proven exact in test_grad_accum_matches_monolithic.
+    np.testing.assert_allclose(float(outs[1].loss), float(outs[2].loss), rtol=5e-2)
+
+
+def test_save_checkpoint_refuses_non_checkpoint_dir(tmp_path, tiny_cf, tiny_model):
+    """Overwrite-by-swap must not delete arbitrary existing directories."""
+    _, params, state = tiny_model
+    victim = tmp_path / "precious"
+    victim.mkdir()
+    (victim / "data.txt").write_text("do not delete")
+    with pytest.raises(ValueError, match="refusing to replace"):
+        save_checkpoint(str(victim), params, state)
+    assert (victim / "data.txt").read_text() == "do not delete"
+
+
+def test_grad_accum_with_lbfgs_rejected(tiny_cf):
+    from adaptive_tpu.config import load_config
+
+    with pytest.raises(NotImplementedError, match="lbfgs"):
+        load_config(None, opt_rnn_optimization="lbfgs", train_grad_accum_steps=2,
+                    train_batch_size=4)
