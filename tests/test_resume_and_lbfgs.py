@@ -225,20 +225,23 @@ def test_auto_resume_cycle(tmp_path, tiny_cf):
     vocab.save(vocab_path)
     stable = str(tmp_path / "ckpts")
 
-    def run(num_epochs):
+    def run(num_epochs, **extra):
         cf = tiny_cf.replace(
             vocab_path=vocab_path, vocab_length=len(vocab), resized_image_dir=resized,
             train_anno_path=ann, val_anno_path=ann, train_eval_anno_path=ann,
             exp_dir=str(tmp_path / f"exp{num_epochs}"), train_num_epochs=num_epochs,
             train_batch_size=4, train_evalOrnot=False, dataloader_num_workers=2,
             train_log_step=1000, train_tb_interval_batches=10000,
-            train_auto_resume_dir=stable,
+            train_auto_resume_dir=stable, **extra,
         )
         os.makedirs(cf.exp_dir, exist_ok=True)
         buf = io.StringIO()
         with redirect_stdout(buf):
             out = main_train(cf)
         return out, buf.getvalue()
+
+    def run_with_pretrained(num_epochs, base):
+        return run(num_epochs, train_pretrained=True, train_pretrained_model=base)
 
     (_, _, _, _), log1 = run(1)
     assert "fresh start" in log1 and "Epoch 1" in log1
@@ -250,4 +253,13 @@ def test_auto_resume_cycle(tmp_path, tiny_cf):
     assert "resumed optimizer state" in log2
     assert "#------------------Training for Epoch 2" in log2
     assert "#------------------Training for Epoch 1" not in log2  # skips done work
+
+    # a cold-start base (train_pretrained) must NOT outrank the job's own
+    # progress: with model-2 in the resume dir, a config that also names
+    # model-1 as its pretrained base resumes from model-2
+    base = os.path.join(stable, [c for c in os.listdir(stable) if c.endswith("model-1")][0])
+    (_, _, _, _), log3 = run_with_pretrained(3, base)
+    assert "auto-resume: found checkpoint" in log3 and "model-2" in log3
+    assert "#------------------Training for Epoch 3" in log3
+    assert "#------------------Training for Epoch 2" not in log3
     assert any("model-2" in c for c in os.listdir(stable))
