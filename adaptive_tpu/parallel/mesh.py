@@ -47,8 +47,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
-    """Device-put a host batch with the leading dim sharded over 'data'."""
+    """Place a host batch with the leading dim sharded over 'data'.
+
+    Single-host: a plain device_put. Multi-host (jax.process_count() > 1):
+    each process passes only ITS shard of the global batch (global_batch //
+    process_count rows, its slice of the data axis) and
+    `jax.make_array_from_process_local_data` assembles the global array —
+    no host ever materializes the full batch, which device_put would
+    require. The loader contract: under multi-host DP every process reads
+    its own slice of the dataset (disjoint by process_index).
+    """
     ds = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(ds, np.asarray(v))
+            for k, v in batch.items()
+        }
     return {k: jax.device_put(v, ds) for k, v in batch.items()}
 
 

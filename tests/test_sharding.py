@@ -90,6 +90,21 @@ def test_sharded_train_step_runs_and_matches_single_device(tiny_cf):
     )
 
 
+def test_process_local_batch_assembly_matches_device_put():
+    """The multi-host shard_batch path (make_array_from_process_local_data)
+    equals device_put in the single-process degenerate case — keeps the
+    multi-host code path compiling and semantically pinned."""
+    from adaptive_tpu.parallel.mesh import data_sharding
+
+    mesh = make_mesh(shape=(8, 1), axes=("data", "model"))
+    ds = data_sharding(mesh)
+    x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    a = jax.device_put(x, ds)
+    b = jax.make_array_from_process_local_data(ds, x)
+    assert b.sharding == a.sharding
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_zero1_opt_state_sharding_rules():
     from adaptive_tpu.parallel import opt_state_sharding_rules
 
