@@ -45,10 +45,16 @@ struct Columns {
   std::vector<int64_t> cat_off{0};
 };
 
+// Recursion guard: stdlib json raises RecursionError on pathological
+// nesting; a native parser must bound its C stack the same way or a crafted
+// file segfaults the whole process. 512 is far beyond any real COCO file.
+constexpr int kMaxDepth = 512;
+
 struct Parser {
   const char* p;
   const char* end;
   std::string err;
+  int depth = 0;
 
   explicit Parser(const char* data, size_t n) : p(data), end(data + n) {}
 
@@ -174,25 +180,31 @@ struct Parser {
     char c = *p;
     if (c == '"') { p++; return skip_string(); }
     if (c == '{') {
+      if (++depth > kMaxDepth) return fail("nesting too deep");
       p++;
       ws();
-      if (peek('}')) { p++; return true; }
+      if (peek('}')) { p++; depth--; return true; }
       while (true) {
         if (!expect('"') || !skip_string() || !expect(':') || !skip_value()) return false;
         ws();
         if (peek(',')) { p++; continue; }
-        return expect('}');
+        if (!expect('}')) return false;
+        depth--;
+        return true;
       }
     }
     if (c == '[') {
+      if (++depth > kMaxDepth) return fail("nesting too deep");
       p++;
       ws();
-      if (peek(']')) { p++; return true; }
+      if (peek(']')) { p++; depth--; return true; }
       while (true) {
         if (!skip_value()) return false;
         ws();
         if (peek(',')) { p++; continue; }
-        return expect(']');
+        if (!expect(']')) return false;
+        depth--;
+        return true;
       }
     }
     if (c == 't') { if (end - p >= 4 && !memcmp(p, "true", 4)) { p += 4; return true; } return fail("bad literal"); }

@@ -103,6 +103,19 @@ def test_malformed_returns_none(tmp_path):
     assert load_columns(str(tmp_path / "missing.json")) is None
 
 
+def test_deep_nesting_falls_back_not_crashes(tmp_path):
+    """Pathological nesting must surface as a parse failure (None -> stdlib
+    fallback), not a C-stack segfault of the whole process."""
+    deep = "[" * 200_000 + "]" * 200_000
+    p = tmp_path / "deep.json"
+    p.write_text('{"junk": ' + deep + ', "annotations": [], "images": []}')
+    assert load_columns(str(p)) is None
+    # moderate nesting (well under the guard) still parses fine
+    ok = tmp_path / "ok.json"
+    ok.write_text('{"junk": ' + "[" * 100 + "]" * 100 + ', "annotations": [], "images": []}')
+    assert load_columns(str(ok)) is not None
+
+
 def test_non_coco_json_returns_none(tmp_path):
     """Valid JSON without images/annotations keys is not a COCO file: the
     caller must fall back to stdlib json (whose KeyError is the loud error),
