@@ -61,10 +61,16 @@ RLE* rleEncode(const uint8_t* mask, uint64_t h, uint64_t w) {
 
 // ---------------------------------------------------------------- decode
 void rleDecode(const RLE* r, uint8_t* mask) {
+  // Bounded at h*w: a corrupt/crafted counts string (e.g. from a results
+  // JSON) whose runs sum past the mask size must not overflow the caller's
+  // buffer. The reference's maskApi.c trusts the counts (maskApi.c:14-22);
+  // well-formed RLEs behave identically here.
+  const uint64_t cap = r->h * r->w;
   uint64_t pos = 0;
   uint8_t v = 0;
-  for (uint64_t j = 0; j < r->m; ++j) {
-    for (uint32_t k = 0; k < r->cnts[j]; ++k) mask[pos++] = v;
+  for (uint64_t j = 0; j < r->m && pos < cap; ++j) {
+    uint32_t run = r->cnts[j];
+    for (uint32_t k = 0; k < run && pos < cap; ++k) mask[pos++] = v;
     v = 1 - v;
   }
 }

@@ -166,3 +166,17 @@ def test_frpoly_close_to_reference(ref):
     inter = int((want & got).sum())
     union = int((want | got).sum())
     assert union > 0 and inter / union > 0.9, (inter, union)
+
+
+def test_decode_bounded_on_corrupt_counts():
+    """A crafted RLE whose runs sum past h*w must not write past the buffer
+    (the vendored maskApi.c trusts the counts; we clamp at h*w)."""
+    from adaptive_tpu.native import mask as M
+
+    good = M.encode(np.ones((4, 4), np.uint8))
+    # corrupt: claim a tiny mask but keep the 16-pixel counts string
+    bad = {"size": [2, 2], "counts": good["counts"]}
+    out = M.decode(bad)
+    assert out.shape == (2, 2)  # no crash, no overflow
+    # well-formed RLEs are unaffected
+    np.testing.assert_array_equal(M.decode(good), np.ones((4, 4), np.uint8))
