@@ -233,16 +233,9 @@ def device_prefetch(iterator: Iterator, size: int = 2, sharding=None) -> Iterato
     def put(batch):
         if sharding is None:
             return {k: jax.device_put(v) for k, v in batch.items()}
-        if jax.process_count() > 1:
-            # multi-host: this process's rows only; the global array is
-            # assembled per-shard (see parallel/mesh.py shard_batch)
-            import numpy as _np
+        from adaptive_tpu.parallel.mesh import place_batch
 
-            return {
-                k: jax.make_array_from_process_local_data(sharding, _np.asarray(v))
-                for k, v in batch.items()
-            }
-        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        return place_batch(sharding, batch)
 
     buf = collections.deque()
     for item in iterator:

@@ -21,6 +21,7 @@ _lib = C.CDLL(ensure_built())
 _lib.rleEncode.restype = C.c_void_p
 _lib.rleEncode.argtypes = [C.POINTER(C.c_uint8), C.c_uint64, C.c_uint64]
 _lib.rleDecode.argtypes = [C.c_void_p, C.POINTER(C.c_uint8)]
+_lib.rleDecodeBounded.argtypes = [C.c_void_p, C.POINTER(C.c_uint8), C.c_uint64]
 _lib.rleArea.restype = C.c_uint64
 _lib.rleArea.argtypes = [C.c_void_p]
 _lib.rleMerge.restype = C.c_void_p
@@ -95,7 +96,9 @@ def decode(rles: Union[RLEDict, List[RLEDict]]) -> np.ndarray:
     for i, r in enumerate(rl):
         handle = _to_handle(r)
         buf = np.zeros(h * w, np.uint8)
-        _lib.rleDecode(handle, buf.ctypes.data_as(C.POINTER(C.c_uint8)))
+        # bound by THIS buffer (sized from rl[0]): later RLEs in the list may
+        # claim a different size, corrupt or otherwise
+        _lib.rleDecodeBounded(handle, buf.ctypes.data_as(C.POINTER(C.c_uint8)), h * w)
         _lib.rleFree(handle)
         out[:, :, i] = buf.reshape(w, h).T  # column-major layout
     return out[:, :, 0] if single else out

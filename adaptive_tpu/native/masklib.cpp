@@ -60,12 +60,12 @@ RLE* rleEncode(const uint8_t* mask, uint64_t h, uint64_t w) {
 }
 
 // ---------------------------------------------------------------- decode
-void rleDecode(const RLE* r, uint8_t* mask) {
-  // Bounded at h*w: a corrupt/crafted counts string (e.g. from a results
-  // JSON) whose runs sum past the mask size must not overflow the caller's
-  // buffer. The reference's maskApi.c trusts the counts (maskApi.c:14-22);
-  // well-formed RLEs behave identically here.
-  const uint64_t cap = r->h * r->w;
+// Bounded by the DESTINATION capacity `cap`, not the RLE's own claimed h*w:
+// a corrupt/crafted counts string (e.g. from a results JSON) whose runs sum
+// past the buffer the caller allocated must not overflow it — and callers
+// size buffers from rs[0], not from each RLE. The reference's maskApi.c
+// trusts the counts (maskApi.c:14-22); well-formed RLEs behave identically.
+void rleDecodeBounded(const RLE* r, uint8_t* mask, uint64_t cap) {
   uint64_t pos = 0;
   uint8_t v = 0;
   for (uint64_t j = 0; j < r->m && pos < cap; ++j) {
@@ -73,6 +73,10 @@ void rleDecode(const RLE* r, uint8_t* mask) {
     for (uint32_t k = 0; k < run && pos < cap; ++k) mask[pos++] = v;
     v = 1 - v;
   }
+}
+
+void rleDecode(const RLE* r, uint8_t* mask) {
+  rleDecodeBounded(r, mask, r->h * r->w);
 }
 
 // ---------------------------------------------------------------- area
@@ -89,10 +93,11 @@ RLE* rleMerge(const RLE** rs, uint64_t n, int intersect) {
   uint64_t h = rs[0]->h, w = rs[0]->w;
   // simple + robust: decode, combine, re-encode (sizes are small in COCO)
   std::vector<uint8_t> acc(h * w);
-  rleDecode(rs[0], acc.data());
+  rleDecodeBounded(rs[0], acc.data(), h * w);
   std::vector<uint8_t> tmp(h * w);
   for (uint64_t i = 1; i < n; ++i) {
-    rleDecode(rs[i], tmp.data());
+    std::fill(tmp.begin(), tmp.end(), 0);  // rs[i] may claim a smaller size
+    rleDecodeBounded(rs[i], tmp.data(), h * w);
     for (uint64_t k = 0; k < h * w; ++k)
       acc[k] = intersect ? (acc[k] & tmp[k]) : (acc[k] | tmp[k]);
   }

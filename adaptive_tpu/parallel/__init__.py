@@ -1,5 +1,6 @@
 from adaptive_tpu.parallel.mesh import (
     make_mesh,
+    place_batch,
     opt_state_sharding_rules,
     param_sharding_rules,
     shard_batch,
@@ -9,6 +10,7 @@ from adaptive_tpu.parallel.mesh import (
 
 __all__ = [
     "make_mesh",
+    "place_batch",
     "shard_batch",
     "shard_params",
     "param_sharding_rules",

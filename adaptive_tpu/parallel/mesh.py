@@ -46,24 +46,40 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
-    """Place a host batch with the leading dim sharded over 'data'.
+def place_batch(sharding: NamedSharding, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Place one host batch dict on devices under `sharding` (leading-dim DP).
 
     Single-host: a plain device_put. Multi-host (jax.process_count() > 1):
-    each process passes only ITS shard of the global batch (global_batch //
-    process_count rows, its slice of the data axis) and
-    `jax.make_array_from_process_local_data` assembles the global array —
-    no host ever materializes the full batch, which device_put would
-    require. The loader contract: under multi-host DP every process reads
-    its own slice of the dataset (disjoint by process_index).
+    the loaders are seed-deterministic, so every process holds the SAME
+    global batch; each process contributes its process_index slice of the
+    leading dim and `jax.make_array_from_process_local_data` assembles the
+    global array — devices never receive duplicated rows and no cross-host
+    transfer happens. (Each host redundantly decoding the full batch is a
+    known inefficiency, not a correctness issue; a process-sharded reader is
+    the optimization.) Used by both shard_batch and the loader's
+    device_prefetch so the two paths cannot diverge.
     """
-    ds = data_sharding(mesh)
     if jax.process_count() > 1:
-        return {
-            k: jax.make_array_from_process_local_data(ds, np.asarray(v))
-            for k, v in batch.items()
-        }
-    return {k: jax.device_put(v, ds) for k, v in batch.items()}
+        pc, pi = jax.process_count(), jax.process_index()
+        out = {}
+        for k, v in batch.items():
+            v = np.asarray(v)
+            if v.shape[0] % pc:
+                raise ValueError(
+                    f"global batch dim {v.shape[0]} not divisible by "
+                    f"process_count {pc} (key {k!r})"
+                )
+            rows = v.shape[0] // pc
+            out[k] = jax.make_array_from_process_local_data(
+                sharding, v[pi * rows : (pi + 1) * rows]
+            )
+        return out
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Place a host batch with the leading dim sharded over 'data'."""
+    return place_batch(data_sharding(mesh), batch)
 
 
 def param_sharding_rules(params: Any, mesh: Mesh) -> Any:

@@ -178,41 +178,47 @@ def test_meteor_stem_weighted_below_exact():
 # ----------------------------------------------------------- property fuzz
 # Random corpora through all three oracle-comparable scorers: any tokenizer-
 # level or epsilon-level drift that the curated cases miss shows up here.
+# hypothesis is an optional test dep; the parity tests above run without it.
 
-from hypothesis import given, settings, strategies as st
+try:
+    from hypothesis import given, settings, strategies as st
 
-_word = st.sampled_from(
-    ["a", "the", "dog", "cat", "sat", "on", "mat", "red", "big", "runs",
-     "tree", "under", "man", "woman", "bird", "jumped", "quick", "ball"]
-)
-_sentence = st.lists(_word, min_size=1, max_size=14).map(" ".join)
-_fuzz_corpus = st.integers(2, 5).flatmap(
-    lambda n: st.tuples(
-        st.lists(_sentence, min_size=n, max_size=n),                 # candidates
-        st.lists(st.lists(_sentence, min_size=1, max_size=4),
-                 min_size=n, max_size=n),                            # refs per image
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+    _word = st.sampled_from(
+        ["a", "the", "dog", "cat", "sat", "on", "mat", "red", "big", "runs",
+         "tree", "under", "man", "woman", "bird", "jumped", "quick", "ball"]
     )
-)
+    _sentence = st.lists(_word, min_size=1, max_size=14).map(" ".join)
+    _fuzz_corpus = st.integers(2, 5).flatmap(
+        lambda n: st.tuples(
+            st.lists(_sentence, min_size=n, max_size=n),                 # candidates
+            st.lists(st.lists(_sentence, min_size=1, max_size=4),
+                     min_size=n, max_size=n),                            # refs per image
+        )
+    )
 
+    @settings(max_examples=40, deadline=None)
+    @given(_fuzz_corpus)
+    def test_fuzz_scorers_bit_parity(corpus):
+        cands, refs = corpus
+        gts = {i: rs for i, (c, rs) in enumerate(zip(cands, refs))}
+        res = {i: [c] for i, (c, rs) in enumerate(zip(cands, refs))}
 
-@settings(max_examples=40, deadline=None)
-@given(_fuzz_corpus)
-def test_fuzz_scorers_bit_parity(corpus):
-    cands, refs = corpus
-    gts = {i: rs for i, (c, rs) in enumerate(zip(cands, refs))}
-    res = {i: [c] for i, (c, rs) in enumerate(zip(cands, refs))}
+        # tolerances match the curated parity tests: ULP-level summation-order
+        # differences are expected, anything above is a real drift
+        ours_b, _ = Bleu(4).compute_score(gts, res)
+        ref_b, _ = ref_bleu.Bleu(4).compute_score(gts, res)
+        np.testing.assert_allclose(ours_b, ref_b, rtol=1e-12)
 
-    # tolerances match the curated parity tests: ULP-level summation-order
-    # differences are expected, anything above is a real drift
-    ours_b, _ = Bleu(4).compute_score(gts, res)
-    ref_b, _ = ref_bleu.Bleu(4).compute_score(gts, res)
-    np.testing.assert_allclose(ours_b, ref_b, rtol=1e-12)
+        ours_c, ours_cs = Cider().compute_score(gts, res)
+        ref_c, ref_cs = ref_cider.Cider().compute_score(gts, res)
+        np.testing.assert_allclose(ours_c, ref_c, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ours_cs), np.asarray(ref_cs), rtol=1e-10, atol=1e-12)
 
-    ours_c, ours_cs = Cider().compute_score(gts, res)
-    ref_c, ref_cs = ref_cider.Cider().compute_score(gts, res)
-    np.testing.assert_allclose(ours_c, ref_c, rtol=1e-10, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(ours_cs), np.asarray(ref_cs), rtol=1e-10, atol=1e-12)
-
-    ours_r, _ = Rouge().compute_score(gts, res)
-    ref_r, _ = ref_rouge.Rouge().compute_score(gts, res)
-    np.testing.assert_allclose(ours_r, ref_r, rtol=1e-12)
+        ours_r, _ = Rouge().compute_score(gts, res)
+        ref_r, _ = ref_rouge.Rouge().compute_score(gts, res)
+        np.testing.assert_allclose(ours_r, ref_r, rtol=1e-12)
