@@ -170,3 +170,22 @@ def test_fake_bbox_results_fixture_loads(tmp_path):
     stats = ev.summarize()
     assert stats.shape == (12,)
     assert stats[0] > 0.3  # half the dts are exact gt copies -> decent AP
+
+
+@pytest.mark.parametrize("seed,n_imgs,n_cats", [(7, 6, 3), (11, 2, 1), (13, 8, 4)])
+def test_detection_ap_fuzz_matches_reference(tmp_path, ref_cocoeval, seed, n_imgs, n_cats):
+    """Randomized dataset shapes/sizes through both evaluators: catches
+    binning/edge drift the single curated dataset misses."""
+    gt_path, dts = _synthetic_det_dataset(tmp_path, seed=seed, n_imgs=n_imgs, n_cats=n_cats)
+    cocoGt = COCO(gt_path)
+
+    ours = COCOeval(cocoGt, cocoGt.loadRes([dict(d) for d in dts]), "bbox")
+    ours.evaluate()
+    ours.accumulate()
+    got = ours.summarize()
+
+    ref = ref_cocoeval.COCOeval(cocoGt, cocoGt.loadRes([dict(d) for d in dts]), "bbox")
+    ref.evaluate()
+    ref.accumulate()
+    ref.summarize()
+    np.testing.assert_allclose(got, ref.stats, atol=1e-10)
