@@ -98,7 +98,20 @@ def load_columns(path: str) -> Optional[CocoColumns]:
         n_img = lib.coco_json_count(h, 0)
         n_ann = lib.coco_json_count(h, 1)
         n_cat = lib.coco_json_count(h, 2)
-        return CocoColumns(
+        try:
+            return _columns(lib, h, ints, buf, n_img, n_ann, n_cat)
+        except UnicodeDecodeError:
+            # A lone LOW surrogate escape ("\udc00") passes the C++ parser
+            # (only lone high surrogates are rejected there) and comes back
+            # as invalid UTF-8. stdlib json accepts lone surrogates, so honor
+            # the documented contract: fall back rather than raise.
+            return None
+    finally:
+        lib.coco_json_free(h)
+
+
+def _columns(lib, h, ints, buf, n_img, n_ann, n_cat) -> CocoColumns:
+    return CocoColumns(
             img_ids=ints(0, n_img),
             img_heights=ints(1, n_img),
             img_widths=ints(2, n_img),
@@ -109,8 +122,6 @@ def load_columns(path: str) -> Optional[CocoColumns]:
             cat_ids=ints(7, n_cat),
             cat_names=_strings(buf(2), ints(8, n_cat + 1)),
         )
-    finally:
-        lib.coco_json_free(h)
 
 
 def load_captions(path: str) -> Optional[List[str]]:

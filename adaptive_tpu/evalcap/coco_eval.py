@@ -64,13 +64,17 @@ def decode_split(
 
     if len(_jax.devices()) > 1:
         from adaptive_tpu.parallel import make_mesh
-        from adaptive_tpu.parallel.mesh import data_sharding
+        from adaptive_tpu.parallel.mesh import data_sharding, place_batch
 
         mesh = make_mesh(cf)
         data_n = mesh.shape[cf.mesh_axes[0]]
         if cf.eval_batch_size % data_n == 0:
             ds = data_sharding(mesh)
-            shard_images = lambda imgs: _jax.device_put(imgs, ds)
+            # place_batch, not a bare device_put: on a multi-process mesh the
+            # NamedSharding spans non-addressable devices and device_put
+            # raises; place_batch assembles the global array from each
+            # process's slice (same path as the train input).
+            shard_images = lambda imgs: place_batch(ds, {"images": imgs})["images"]
 
     results: List[Dict] = []
     seen = set()

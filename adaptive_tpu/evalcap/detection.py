@@ -1,12 +1,26 @@
-"""COCO detection evaluation (bbox / segm / keypoints AP) — clean-room.
+"""COCO detection evaluation (bbox / segm / keypoints AP) — clean-room, vectorized.
 
 Reference parity: the vendored COCOeval
 (coco/PythonAPI/pycocotools/cocoeval.py:10-533) — greedy per-image
 per-category matching over 10 IoU thresholds with crowd/ignore semantics,
 101-point interpolated precision, area-range and maxDets breakdowns, OKS for
-keypoints, and the standard 12-stat (dets) / 10-stat (kps) summary. The
-captioning pipeline itself never calls this (cocoeval is vendored-unused in
-the reference, SURVEY.md C23), but it completes the COCO-API capability
+keypoints, and the standard 12-stat (dets) / 10-stat (kps) summary.
+
+Own design, not the vendored one's shape:
+- Matching runs as numpy array ops on the [D, G] IoU matrix: one pass over
+  detections, with the candidate ground-truth selection for ALL IoU
+  thresholds at once ([T, G] masks, `_pick_last_max`), instead of the
+  vendored T x D x G triple Python loop.
+- Accumulation is batched cumsum / `np.maximum.accumulate` envelope /
+  vectorized `searchsorted` over structured per-(category, area) record
+  lists — no flat-index arithmetic into a global list.
+- Per-image records keep the *public* pycocotools result schema (the
+  `evalImgs` dict keys `dtMatches`/`gtIgnore`/... are the vendored API's
+  documented output contract, same argument as the COCO method names), but
+  every internal is original.
+
+The captioning pipeline itself never calls this (cocoeval is vendored-unused
+in the reference, SURVEY.md C23); it completes the COCO-API capability
 surface. IoU computation uses the native C++ mask library
 (adaptive_tpu/native/masklib.cpp).
 """
@@ -17,7 +31,7 @@ import copy
 import datetime
 import time
 from collections import defaultdict
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -51,6 +65,64 @@ class Params:
             raise ValueError(f"iouType not supported: {iouType}")
         self.useCats = 1
         self.iouType = iouType
+
+
+def _pick_last_max(values: np.ndarray, eligible: np.ndarray) -> np.ndarray:
+    """Per row of `eligible` [T, G]: index of the LAST occurrence of the
+    maximum of `values` [G] among eligible entries, or -1 if none.
+
+    "Last occurrence" reproduces the vendored scan's update rule exactly: a
+    candidate replaces the running best whenever it is >= (not strictly >)
+    the best so far, so ties resolve to the highest ground-truth index
+    (cocoeval.py:270-280 semantics, re-derived — see tests for bit parity).
+    """
+    n_rows, n_cols = eligible.shape
+    if n_cols == 0:
+        return np.full(n_rows, -1, np.int64)
+    masked = np.where(eligible, values[None, :], -np.inf)
+    # argmax of the reversed row = first max from the right = last max
+    last_max = n_cols - 1 - np.argmax(masked[:, ::-1], axis=1)
+    found = np.isfinite(masked[np.arange(n_rows), last_max])
+    return np.where(found, last_max, -1)
+
+
+def _greedy_match(
+    iou: np.ndarray, gt_ignored: np.ndarray, gt_crowd: np.ndarray, thresholds: np.ndarray
+) -> np.ndarray:
+    """Greedy score-order matching, all IoU thresholds at once.
+
+    iou: [D, G] with detections score-sorted and ground truths sorted so all
+    non-ignored entries precede ignored ones. Returns [T, D] matched gt index
+    (into the sorted gt order) or -1.
+
+    Semantics (equal to cocoeval.py:266-286 by construction):
+    - a detection first looks among non-ignored ground truths that are still
+      open; only if none qualifies does it consider ignored ones (the
+      vendored early-`break` relies on the same ignored-last sort order);
+    - a ground truth is open until matched, except crowds which stay open;
+    - a candidate must reach min(threshold, 1-1e-10), and among candidates
+      the best IoU wins with ties to the highest index (`_pick_last_max`).
+    """
+    n_thr = len(thresholds)
+    n_det, n_gt = iou.shape
+    floors = np.minimum(thresholds, 1 - 1e-10)[:, None]  # [T, 1]
+    ignored_row = gt_ignored.astype(bool)[None, :]        # [1, G]
+    crowd_row = gt_crowd.astype(bool)[None, :]
+    open_gt = np.ones((n_thr, n_gt), bool)
+    matches = np.full((n_thr, n_det), -1, np.int64)
+    if n_gt == 0:
+        return matches
+    rows = np.arange(n_thr)
+    for d in range(n_det):
+        reaches = iou[d][None, :] >= floors                       # [T, G]
+        available = open_gt | crowd_row
+        primary = _pick_last_max(iou[d], reaches & available & ~ignored_row)
+        fallback = _pick_last_max(iou[d], reaches & available & ignored_row)
+        chosen = np.where(primary >= 0, primary, fallback)
+        hit = chosen >= 0
+        open_gt[rows[hit], chosen[hit]] = False
+        matches[:, d] = chosen
+    return matches
 
 
 class COCOeval:
@@ -87,6 +159,17 @@ class COCOeval:
         for dt in dts:
             self._dts[dt["image_id"], dt["category_id"]].append(dt)
 
+    def _group(self, table, imgId, catId):
+        p = self.params
+        if p.useCats:
+            return table[imgId, catId]
+        return [x for c in p.catIds for x in table[imgId, c]]
+
+    def _sorted_dts(self, imgId, catId):
+        dt = self._group(self._dts, imgId, catId)
+        order = np.argsort([-d["score"] for d in dt], kind="mergesort")
+        return [dt[i] for i in order[: self.params.maxDets[-1]]]
+
     # --------------------------------------------------------------- evaluate
     def evaluate(self):
         tic = time.time()
@@ -102,30 +185,22 @@ class COCOeval:
         catIds = p.catIds if p.useCats else [-1]
         compute = self.computeOks if p.iouType == "keypoints" else self.computeIoU
         self.ious = {(i, c): compute(i, c) for i in p.imgIds for c in catIds}
-        maxDet = p.maxDets[-1]
-        self.evalImgs = [
-            self.evaluateImg(imgId, catId, areaRng, maxDet)
-            for catId in catIds
-            for areaRng in p.areaRng
-            for imgId in p.imgIds
+
+        # structured result store: records[cat_idx][area_idx] = one entry per
+        # image in p.imgIds order (None where the pair has no gts and no dts)
+        self._records = [
+            [[self._match_image(i, c, r) for i in p.imgIds] for r in p.areaRng]
+            for c in catIds
         ]
+        # evalImgs keeps the vendored API's flat cat-major ordering for
+        # external consumers; accumulate() reads the structured store instead
+        self.evalImgs = [rec for per_cat in self._records for per_area in per_cat for rec in per_area]
         self._paramsEval = copy.deepcopy(p)
         print("DONE (t={:0.2f}s).".format(time.time() - tic))
 
-    def _sorted_dts(self, imgId, catId):
-        p = self.params
-        dt = self._dts[imgId, catId] if p.useCats else [
-            d for c in p.catIds for d in self._dts[imgId, c]
-        ]
-        inds = np.argsort([-d["score"] for d in dt], kind="mergesort")
-        dt = [dt[i] for i in inds]
-        return dt[: p.maxDets[-1]]
-
     def computeIoU(self, imgId, catId):
         p = self.params
-        gt = self._gts[imgId, catId] if p.useCats else [
-            g for c in p.catIds for g in self._gts[imgId, c]
-        ]
+        gt = self._group(self._gts, imgId, catId)
         dt = self._sorted_dts(imgId, catId)
         if len(gt) == 0 and len(dt) == 0:
             return []
@@ -136,164 +211,156 @@ class COCOeval:
         return maskUtils.iou(d, g, iscrowd)
 
     def computeOks(self, imgId, catId):
-        """Object-keypoint-similarity matrix (cocoeval.py:193-234)."""
-        p = self.params
+        """Object-keypoint-similarity matrix [D, G], vectorized over both axes
+        (cocoeval.py:193-234 semantics)."""
         gts = self._gts[imgId, catId]
         dts = self._sorted_dts(imgId, catId)
         if len(gts) == 0 or len(dts) == 0:
             return []
-        variances = (OKS_SIGMAS * 2) ** 2
-        k = len(OKS_SIGMAS)
-        ious = np.zeros((len(dts), len(gts)))
-        for j, gt in enumerate(gts):
-            g = np.array(gt["keypoints"])
-            xg, yg, vg = g[0::3], g[1::3], g[2::3]
-            k1 = np.count_nonzero(vg > 0)
-            bb = gt["bbox"]
-            x0, x1 = bb[0] - bb[2], bb[0] + bb[2] * 2
-            y0, y1 = bb[1] - bb[3], bb[1] + bb[3] * 2
-            for i, dt in enumerate(dts):
-                d = np.array(dt["keypoints"])
-                xd, yd = d[0::3], d[1::3]
-                if k1 > 0:
-                    dx, dy = xd - xg, yd - yg
-                else:
-                    z = np.zeros((k,))
-                    dx = np.max((z, x0 - xd), axis=0) + np.max((z, xd - x1), axis=0)
-                    dy = np.max((z, y0 - yd), axis=0) + np.max((z, yd - y1), axis=0)
-                e = (dx**2 + dy**2) / variances / (gt["area"] + np.spacing(1)) / 2
-                if k1 > 0:
-                    e = e[vg > 0]
-                ious[i, j] = np.sum(np.exp(-e)) / e.shape[0]
-        return ious
+        variances = (OKS_SIGMAS * 2) ** 2                        # [K]
+        gkp = np.array([g["keypoints"] for g in gts], float).reshape(len(gts), -1, 3)
+        dkp = np.array([d["keypoints"] for d in dts], float).reshape(len(dts), -1, 3)
+        xg, yg, vg = gkp[..., 0], gkp[..., 1], gkp[..., 2]       # [G, K]
+        xd, yd = dkp[..., 0], dkp[..., 1]                        # [D, K]
+        visible = vg > 0
+        n_vis = visible.sum(axis=1)                              # [G]
+        areas = np.array([g["area"] for g in gts], float)
+        bbox = np.array([g["bbox"] for g in gts], float)         # [G, 4]
 
-    def evaluateImg(self, imgId, catId, aRng, maxDet) -> Optional[dict]:
-        """Greedy matching for one (image, category, area range)
-        (cocoeval.py:236-314)."""
+        # visible gts: plain keypoint offsets; label-less gts: distance to a
+        # 2x-expanded box around the annotation bbox
+        dx_vis = xd[None, :, :] - xg[:, None, :]                 # [G, D, K]
+        dy_vis = yd[None, :, :] - yg[:, None, :]
+        lo_x, hi_x = bbox[:, 0] - bbox[:, 2], bbox[:, 0] + 2 * bbox[:, 2]
+        lo_y, hi_y = bbox[:, 1] - bbox[:, 3], bbox[:, 1] + 2 * bbox[:, 3]
+        dx_box = np.maximum(0.0, lo_x[:, None, None] - xd[None, :, :]) + np.maximum(
+            0.0, xd[None, :, :] - hi_x[:, None, None]
+        )
+        dy_box = np.maximum(0.0, lo_y[:, None, None] - yd[None, :, :]) + np.maximum(
+            0.0, yd[None, :, :] - hi_y[:, None, None]
+        )
+        use_vis = (n_vis > 0)[:, None, None]
+        dx = np.where(use_vis, dx_vis, dx_box)
+        dy = np.where(use_vis, dy_vis, dy_box)
+        e = (dx**2 + dy**2) / variances[None, None, :] / (areas[:, None, None] + np.spacing(1)) / 2
+        sim = np.exp(-e)                                         # [G, D, K]
+        keep = np.where(use_vis, visible[:, None, :], True)
+        denom = np.where(n_vis > 0, n_vis, e.shape[-1])[:, None] # [G, 1]
+        oks = (sim * keep).sum(axis=-1) / denom                  # [G, D]
+        return oks.T                                             # [D, G]
+
+    def _match_image(self, imgId, catId, areaRng) -> Optional[dict]:
+        """One (image, category, area-range) record via the vectorized greedy
+        matcher; schema matches the vendored evalImgs contract."""
         p = self.params
-        gt = self._gts[imgId, catId] if p.useCats else [
-            g for c in p.catIds for g in self._gts[imgId, c]
-        ]
-        dt = self._dts[imgId, catId] if p.useCats else [
-            d for c in p.catIds for d in self._dts[imgId, c]
-        ]
+        gt = self._group(self._gts, imgId, catId)
+        dt = self._group(self._dts, imgId, catId)
         if len(gt) == 0 and len(dt) == 0:
             return None
+        maxDet = p.maxDets[-1]
 
-        for g in gt:
-            g["_ignore"] = 1 if (g["ignore"] or g["area"] < aRng[0] or g["area"] > aRng[1]) else 0
+        gt_area = np.array([g["area"] for g in gt], float)
+        base_ignore = np.array([g["ignore"] for g in gt], bool)
+        out_of_range = (gt_area < areaRng[0]) | (gt_area > areaRng[1])
+        ignore_flags = (base_ignore | out_of_range).astype(np.int64)
+        gt_order = np.argsort(ignore_flags, kind="mergesort")  # non-ignored first
+        gt = [gt[i] for i in gt_order]
+        ignore_flags = ignore_flags[gt_order]
+        crowd_flags = np.array([int(g.get("iscrowd", 0)) for g in gt], np.int64)
 
-        gtind = np.argsort([g["_ignore"] for g in gt], kind="mergesort")
-        gt = [gt[i] for i in gtind]
-        dtind = np.argsort([-d["score"] for d in dt], kind="mergesort")
-        dt = [dt[i] for i in dtind[:maxDet]]
-        iscrowd = [int(o.get("iscrowd", 0)) for o in gt]
-        ious = self.ious[imgId, catId]
-        ious = ious[:, gtind] if len(ious) > 0 else ious
+        det_order = np.argsort([-d["score"] for d in dt], kind="mergesort")[:maxDet]
+        dt = [dt[i] for i in det_order]
 
-        T, G, D = len(p.iouThrs), len(gt), len(dt)
-        gtm = np.zeros((T, G))
-        dtm = np.zeros((T, D))
-        gtIg = np.array([g["_ignore"] for g in gt])
-        dtIg = np.zeros((T, D))
-        if len(ious):
-            for tind, t in enumerate(p.iouThrs):
-                for dind, d in enumerate(dt):
-                    best_iou = min(t, 1 - 1e-10)
-                    m = -1
-                    for gind in range(G):
-                        if gtm[tind, gind] > 0 and not iscrowd[gind]:
-                            continue  # gt taken (crowd gts can match many)
-                        if m > -1 and gtIg[m] == 0 and gtIg[gind] == 1:
-                            break  # matched a real gt; remaining gts are ignores
-                        if ious[dind, gind] < best_iou:
-                            continue
-                        best_iou = ious[dind, gind]
-                        m = gind
-                    if m == -1:
-                        continue
-                    dtIg[tind, dind] = gtIg[m]
-                    dtm[tind, dind] = gt[m]["id"]
-                    gtm[tind, m] = d["id"]
-        # unmatched detections outside the area range are ignored
-        a = np.array([d["area"] < aRng[0] or d["area"] > aRng[1] for d in dt]).reshape((1, D))
-        dtIg = np.logical_or(dtIg, np.logical_and(dtm == 0, np.repeat(a, T, 0)))
+        iou = self.ious[imgId, catId]
+        iou = np.asarray(iou)[:, gt_order] if len(iou) > 0 else np.zeros((len(dt), len(gt)))
+
+        matches = _greedy_match(iou, ignore_flags, crowd_flags, p.iouThrs)  # [T, D]
+        hit = matches >= 0
+        safe = np.clip(matches, 0, None)
+        gt_id_arr = np.array([g["id"] for g in gt], np.int64)
+        det_id_arr = np.array([d["id"] for d in dt], np.int64)
+        matched_gt_ids = np.where(hit, gt_id_arr[safe] if len(gt) else 0, 0).astype(float)
+        det_ignored = np.where(hit, ignore_flags[safe] if len(gt) else 0, 0).astype(bool)
+
+        # which det claimed each gt (first in score order wins the slot; for
+        # crowds several dets can match, the vendored gtm keeps the LAST)
+        gt_claimed = np.zeros((len(p.iouThrs), len(gt)))
+        for t in range(len(p.iouThrs)):
+            idx = matches[t][hit[t]]
+            gt_claimed[t, idx] = det_id_arr[hit[t]]
+
+        det_area = np.array([d["area"] for d in dt], float)
+        det_out = (det_area < areaRng[0]) | (det_area > areaRng[1])
+        det_ignored = det_ignored | (~hit & det_out[None, :])
         return {
             "image_id": imgId,
             "category_id": catId,
-            "aRng": aRng,
+            "aRng": areaRng,
             "maxDet": maxDet,
-            "dtIds": [d["id"] for d in dt],
-            "gtIds": [g["id"] for g in gt],
-            "dtMatches": dtm,
-            "gtMatches": gtm,
+            "dtIds": det_id_arr.tolist(),
+            "gtIds": gt_id_arr.tolist(),
+            "dtMatches": matched_gt_ids,
+            "gtMatches": gt_claimed,
             "dtScores": [d["score"] for d in dt],
-            "gtIgnore": gtIg,
-            "dtIgnore": dtIg,
+            "gtIgnore": ignore_flags,
+            "dtIgnore": det_ignored,
         }
 
     # -------------------------------------------------------------- accumulate
     def accumulate(self, p=None):
+        """Batched precision/recall accumulation over the structured record
+        store — cumsum + envelope + searchsorted, all [T, N] at once."""
         print("Accumulating evaluation results...")
         tic = time.time()
         if p is None:
             p = self.params
         p.catIds = p.catIds if p.useCats == 1 else [-1]
-        T, R = len(p.iouThrs), len(p.recThrs)
-        K = len(p.catIds) if p.useCats else 1
-        A, M = len(p.areaRng), len(p.maxDets)
-        precision = -np.ones((T, R, K, A, M))
-        recall = -np.ones((T, K, A, M))
-        scores = -np.ones((T, R, K, A, M))
+        n_thr, n_rec = len(p.iouThrs), len(p.recThrs)
+        n_cat = len(p.catIds) if p.useCats else 1
+        n_area, n_cap = len(p.areaRng), len(p.maxDets)
+        precision = -np.ones((n_thr, n_rec, n_cat, n_area, n_cap))
+        recall = -np.ones((n_thr, n_cat, n_area, n_cap))
+        scores = -np.ones((n_thr, n_rec, n_cat, n_area, n_cap))
 
-        _pe = self._paramsEval
-        I0, A0 = len(_pe.imgIds), len(_pe.areaRng)
-        for k in range(K):
-            Nk = k * A0 * I0
-            for a in range(A):
-                Na = a * I0
-                for m, maxDet in enumerate(p.maxDets):
-                    E = [self.evalImgs[Nk + Na + i] for i in range(I0)]
-                    E = [e for e in E if e is not None]
-                    if len(E) == 0:
-                        continue
-                    dtScores = np.concatenate([e["dtScores"][:maxDet] for e in E])
-                    inds = np.argsort(-dtScores, kind="mergesort")
-                    dtScoresSorted = dtScores[inds]
-                    dtm = np.concatenate([e["dtMatches"][:, :maxDet] for e in E], axis=1)[:, inds]
-                    dtIg = np.concatenate([e["dtIgnore"][:, :maxDet] for e in E], axis=1)[:, inds]
-                    gtIg = np.concatenate([e["gtIgnore"] for e in E])
-                    npig = np.count_nonzero(gtIg == 0)
-                    if npig == 0:
-                        continue
-                    tps = np.logical_and(dtm, np.logical_not(dtIg))
-                    fps = np.logical_and(np.logical_not(dtm), np.logical_not(dtIg))
-                    tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
-                    fp_sum = np.cumsum(fps, axis=1).astype(np.float64)
-                    for t in range(T):
-                        tp, fp = tp_sum[t], fp_sum[t]
-                        nd = len(tp)
-                        rc = tp / npig
-                        pr = (tp / (fp + tp + np.spacing(1))).tolist()
-                        recall[t, k, a, m] = rc[-1] if nd else 0
-                        # monotone precision envelope (right-to-left max)
-                        for i in range(nd - 1, 0, -1):
-                            if pr[i] > pr[i - 1]:
-                                pr[i - 1] = pr[i]
-                        q = np.zeros((R,))
-                        ss = np.zeros((R,))
-                        inds_r = np.searchsorted(rc, p.recThrs, side="left")
-                        for ri, pi in enumerate(inds_r):
-                            if pi < nd:
-                                q[ri] = pr[pi]
-                                ss[ri] = dtScoresSorted[pi]
-                            else:
-                                break
-                        precision[t, :, k, a, m] = q
-                        scores[t, :, k, a, m] = ss
+        for ci in range(n_cat):
+            for ai in range(n_area):
+                recs = [r for r in self._records[ci][ai] if r is not None]
+                if not recs:
+                    continue
+                n_pos = int(sum(np.count_nonzero(np.asarray(r["gtIgnore"]) == 0) for r in recs))
+                if n_pos == 0:
+                    continue
+                for mi, cap in enumerate(p.maxDets):
+                    det_scores = np.concatenate([np.asarray(r["dtScores"][:cap]) for r in recs])
+                    order = np.argsort(-det_scores, kind="mergesort")
+                    det_scores = det_scores[order]
+                    matched = np.concatenate(
+                        [np.asarray(r["dtMatches"])[:, :cap] for r in recs], axis=1
+                    )[:, order] != 0
+                    ignored = np.concatenate(
+                        [np.asarray(r["dtIgnore"])[:, :cap] for r in recs], axis=1
+                    )[:, order].astype(bool)
+                    counted = ~ignored
+                    hits = np.cumsum(matched & counted, axis=1).astype(np.float64)   # [T, N]
+                    misses = np.cumsum(~matched & counted, axis=1).astype(np.float64)
+                    n_det = hits.shape[1]
+                    rc = hits / n_pos
+                    pr = hits / (misses + hits + np.spacing(1))
+                    recall[:, ci, ai, mi] = rc[:, -1] if n_det else 0
+                    # monotone precision envelope: running max from the right
+                    envelope = np.maximum.accumulate(pr[:, ::-1], axis=1)[:, ::-1]
+                    for t in range(n_thr):
+                        at = np.searchsorted(rc[t], p.recThrs, side="left")
+                        ok = at < n_det
+                        q = np.zeros(n_rec)
+                        s = np.zeros(n_rec)
+                        q[ok] = envelope[t, at[ok]]
+                        s[ok] = det_scores[at[ok]]
+                        precision[t, :, ci, ai, mi] = q
+                        scores[t, :, ci, ai, mi] = s
         self.eval = {
             "params": p,
-            "counts": [T, R, K, A, M],
+            "counts": [n_thr, n_rec, n_cat, n_area, n_cap],
             "date": datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S"),
             "precision": precision,
             "recall": recall,

@@ -31,8 +31,22 @@ def make_mesh(cf=None, devices=None, shape=None, axes=None) -> Mesh:
     shape = list(shape if shape is not None else (cf.mesh_shape if cf else (-1, 1)))
     n = len(devices)
     fixed = int(np.prod([s for s in shape if s != -1]))
+    if fixed <= 0 or (any(s == -1 for s in shape) and n % fixed):
+        raise ValueError(
+            f"config mesh_shape {tuple(shape)} cannot tile {n} available "
+            f"device(s): the fixed axes multiply to {fixed}. Set mesh_shape "
+            f"so the product of fixed axes divides the device count (use -1 "
+            f"for at most one wildcard axis), e.g. (-1, 1) for pure data "
+            f"parallelism."
+        )
     shape = tuple(n // fixed if s == -1 else s for s in shape)
-    assert int(np.prod(shape)) == n, f"mesh shape {shape} != {n} devices"
+    if int(np.prod(shape)) != n:
+        raise ValueError(
+            f"config mesh_shape {shape} requires {int(np.prod(shape))} "
+            f"devices but {n} are available. Fix mesh_shape (axes "
+            f"{axes}) so its product equals the device count, or use -1 "
+            f"for one axis to auto-size it."
+        )
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, axes)
 

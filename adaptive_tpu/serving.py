@@ -95,7 +95,7 @@ class CaptionService:
         self._ready = threading.Event()
         self._lock = threading.Lock()
         self._counters = {"requests": 0, "completed": 0, "errors": 0,
-                          "shed": 0, "invalid": 0, "batches": 0}
+                          "shed": 0, "invalid": 0, "batches": 0, "timeouts": 0}
         self._lat_hist = [0] * (len(_LAT_EDGES_MS) + 1)
         self._fill_hist = [0] * (self.batch_size + 1)  # index = requests in batch
         self._worker = threading.Thread(target=self._loop, daemon=True)
@@ -119,7 +119,16 @@ class CaptionService:
             with self._lock:
                 self._counters["shed"] += 1
             return {"error": "overloaded", "queue_depth": self._queue.qsize()}
-        return reply.get(timeout=timeout)
+        try:
+            return reply.get(timeout=timeout)
+        except queue.Empty:
+            # Errors come back as dicts, never as exceptions into the caller's
+            # thread. The request still occupies its batch slot; when the
+            # worker finishes it the reply queue simply has no reader, and the
+            # completion is counted under 'timeouts', not 'completed'.
+            with self._lock:
+                self._counters["timeouts"] += 1
+            return {"error": "timeout", "timeout_s": timeout}
 
     def warmup(self):
         img = np.zeros((self.image_size,) * 2 + (3,), np.uint8)

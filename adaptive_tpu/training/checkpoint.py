@@ -22,11 +22,25 @@ import numpy as np
 SEP = "|"
 
 
+def _to_host(leaf) -> np.ndarray:
+    """Fetch a leaf to host, gathering globally-sharded arrays first.
+
+    With ZeRO-1 (opt_state_sharding='data') on a multi-host mesh the moments
+    are global arrays that are not fully addressable from any one process, so
+    a bare np.asarray raises. process_allgather materializes the full value on
+    every process, keeping the checkpoint a complete single-file artifact."""
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
+    return np.asarray(leaf)
+
+
 def _flatten(tree: Any) -> Dict[str, np.ndarray]:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         key = SEP.join(_path_str(p) for p in path)
-        flat[key] = np.asarray(leaf)
+        flat[key] = _to_host(leaf)
     return flat
 
 
@@ -51,7 +65,10 @@ def _unflatten_into(template: Any, flat: Dict[str, np.ndarray]) -> Any:
         arr = flat[key]
         if tuple(arr.shape) != tuple(np.shape(leaf)):
             raise ValueError(f"shape mismatch for {key}: ckpt {arr.shape} vs model {np.shape(leaf)}")
-        leaves.append(arr.astype(np.asarray(leaf).dtype))
+        # read dtype from the attribute (never materialize the template —
+        # ZeRO-1 templates on a multi-host mesh aren't fully addressable)
+        dtype = getattr(leaf, "dtype", None)
+        leaves.append(arr.astype(dtype if dtype is not None else np.asarray(leaf).dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
@@ -91,7 +108,9 @@ def _write_checkpoint_files(path, flat_model, flat_opt, metadata):
         # after the new one is fully in place — no crash window destroys data.
         # Refuse to replace a directory that isn't a checkpoint (protects
         # arbitrary destinations from deletion).
-        if os.path.isdir(path) and not os.path.exists(os.path.join(path, "model.npz")):
+        if not os.path.isdir(path) or not os.path.exists(os.path.join(path, "model.npz")):
+            # covers both a non-checkpoint directory and a regular file at the
+            # destination — neither may be silently swapped out and deleted
             raise ValueError(
                 f"{path} exists and is not a checkpoint dir; refusing to replace"
             )
