@@ -25,6 +25,8 @@ class BeamOutput(NamedTuple):
     score: jnp.ndarray   # [B] best beam's (normalized) log-prob
     all_ids: jnp.ndarray  # [B, W, L] every beam
     all_scores: jnp.ndarray  # [B, W]
+    attention: jnp.ndarray  # [B, L, K] best beam's spatial attention maps
+    beta: jnp.ndarray       # [B, L] best beam's sentinel gate (zeros if non-adaptive)
 
 
 def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.0):
@@ -57,10 +59,15 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
         ).astype(jnp.float32)
         finished = jnp.zeros((B, W), bool)
         ids_buf = jnp.zeros((B, W, max_len), jnp.int32)
+        # per-beam attention/beta history rides the same source-beam reorder as
+        # ids_buf, so the winning beam's maps match its token path (sampler
+        # contract parity: adaptive_attention.py:168-216 returns ids+attn+beta)
+        att_buf = jnp.zeros((B, W, max_len, K), jnp.float32)
+        beta_buf = jnp.zeros((B, W, max_len), jnp.float32)
 
         def step(carry, _):
-            tokens, scores, finished, dstate, ids_buf, t = carry
-            logits, _, _, dstate_new = model.decode_step(
+            tokens, scores, finished, dstate, ids_buf, att_buf, beta_buf, t = carry
+            logits, alpha, beta_t, dstate_new = model.decode_step(
                 params, tokens.reshape(B * W), vg_t, dstate, V_t, sentinel_prev, pv=pv_t
             )
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(B, W, -1)
@@ -86,11 +93,22 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
             dstate_new = jax.tree.map(gather_beams, dstate_new)
             ids_buf = jnp.take_along_axis(ids_buf, src_beam[..., None], axis=1)
             ids_buf = ids_buf.at[:, :, t].set(new_tok)
+            # step-t maps belong to the SOURCE beam that produced the token
+            alpha_w = alpha.astype(jnp.float32).reshape(B, W, K)
+            beta_w = beta_t.astype(jnp.float32).reshape(B, W)
+            att_buf = jnp.take_along_axis(att_buf, src_beam[..., None, None], axis=1)
+            att_buf = att_buf.at[:, :, t].set(
+                jnp.take_along_axis(alpha_w, src_beam[..., None], axis=1)
+            )
+            beta_buf = jnp.take_along_axis(beta_buf, src_beam[..., None], axis=1)
+            beta_buf = beta_buf.at[:, :, t].set(
+                jnp.take_along_axis(beta_w, src_beam, axis=1)
+            )
             finished = jnp.take_along_axis(finished, src_beam, axis=1) | (new_tok == eos)
-            return (new_tok, top_scores, finished, dstate_new, ids_buf, t + 1), None
+            return (new_tok, top_scores, finished, dstate_new, ids_buf, att_buf, beta_buf, t + 1), None
 
-        carry = (tokens, scores, finished, dstate, ids_buf, jnp.int32(0))
-        (tokens, scores, finished, dstate, ids_buf, _), _ = jax.lax.scan(
+        carry = (tokens, scores, finished, dstate, ids_buf, att_buf, beta_buf, jnp.int32(0))
+        (tokens, scores, finished, dstate, ids_buf, att_buf, beta_buf, _), _ = jax.lax.scan(
             step, carry, None, length=max_len
         )
 
@@ -102,6 +120,8 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
         best = jnp.argmax(norm_scores, axis=1)
         best_ids = jnp.take_along_axis(ids_buf, best[:, None, None], axis=1)[:, 0]
         best_score = jnp.take_along_axis(norm_scores, best[:, None], axis=1)[:, 0]
-        return BeamOutput(best_ids, best_score, ids_buf, norm_scores)
+        best_att = jnp.take_along_axis(att_buf, best[:, None, None, None], axis=1)[:, 0]
+        best_beta = jnp.take_along_axis(beta_buf, best[:, None, None], axis=1)[:, 0]
+        return BeamOutput(best_ids, best_score, ids_buf, norm_scores, best_att, best_beta)
 
     return decode

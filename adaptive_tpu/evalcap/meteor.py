@@ -1,25 +1,34 @@
-"""METEOR 1.5 — clean-room Python implementation (no Java).
+"""METEOR 1.5 — clean-room Python implementation (no Java), all 4 stages.
 
 Reference parity note: the reference drives ``meteor-1.5.jar`` over a stdio
 protocol (coco/pycocoevalcap/meteor/meteor.py:15-82), but the jar and its
 paraphrase-en.gz table are missing large blobs (.MISSING_LARGE_BLOBS:2-3), so
 the reference as-shipped cannot run METEOR either. This implements the
 published Meteor 1.5 algorithm (Denkowski & Lavie 2014) with the English
-defaults alpha=0.85, beta=0.2, gamma=0.6, delta=0.75:
+defaults alpha=0.85, beta=0.2, gamma=0.6, delta=0.75 and the full 4-stage
+matcher:
 
-* matcher stages exact (weight 1.0) and Porter stem (0.6);
+* exact (weight 1.0) and Porter stem (0.6) — always on;
+* synonymy (0.8) and paraphrase (0.6) — activated by pluggable table files
+  (`MatchTables`): the jar reads WordNet and paraphrase-en.gz, which are
+  missing blobs here, so the STAGES are implemented and tested with fixture
+  tables and the remaining gap is data only. Synonym table: one synset per
+  line (space-separated members; two words match if they share a synset).
+  Paraphrase table: `phrase ||| phrase [||| ignored]` per line, applied
+  symmetrically; phrases match multi-word spans in the aligner.
 * alignment resolution by beam search over match permutations with Meteor's
   comparator — maximize matched words, then minimize chunks, then maximize
   match weight, then minimize total position distance (the jar's Aligner
-  semantics; NOT leftmost-greedy);
+  semantics; NOT leftmost-greedy); phrase matches cover spans on both sides,
+  one-to-one at word granularity.
 * function-word discounting: content words weigh delta, function words
   (1-delta) in weighted precision/recall (the jar derives its list from
   corpus frequency > 1e-3; the closed-class list below is the derivable
   approximation);
-* fragmentation penalty gamma * (chunks/matches)^beta, no special cases.
-
-Remaining deviations, by necessity of the missing data files only: no WordNet
-synonymy stage (weight 0.8) and no paraphrase stage (weight 0.6).
+* fragmentation penalty gamma * (chunks/m)^beta with m the mean covered
+  word count over the two sides (equal to the matched-unigram count when all
+  matches are word-to-word, i.e. identical to the 2-stage scorer on
+  table-less input).
 
 score = (1 - gamma * frag^beta) * P*R / (alpha*P + (1-alpha)*R),
 max over references per image (the jar scores each ref and keeps the best).
@@ -27,7 +36,7 @@ max over references per image (the jar scores each ref and keeps the best).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 try:
     from nltk.stem.porter import PorterStemmer
@@ -41,7 +50,7 @@ except Exception:  # pragma: no cover
         return w
 
 ALPHA, BETA, GAMMA, DELTA = 0.85, 0.2, 0.6, 0.75
-WEIGHT_EXACT, WEIGHT_STEM = 1.0, 0.6
+WEIGHT_EXACT, WEIGHT_STEM, WEIGHT_SYN, WEIGHT_PARA = 1.0, 0.6, 0.8, 0.6
 BEAM = 40  # the jar's default beam width
 
 # Closed-class English words (approximates meteor-1.5's frequency-derived
@@ -64,64 +73,154 @@ as too very just also
 """.split())
 
 
-Match = Tuple[int, int, float]  # (hyp_idx, ref_idx, stage weight)
+class MatchTables:
+    """Pluggable synonym/paraphrase data for stages 3-4.
+
+    synonyms: {word: frozenset of synset ids} — two words are synonymous iff
+    their synset-id sets intersect (WordNet semantics).
+    paraphrases: {phrase: set of phrases} (symmetric), plus the max phrase
+    length in words for the aligner's span enumeration.
+    """
+
+    def __init__(self, synonyms: Optional[Dict[str, frozenset]] = None,
+                 paraphrases: Optional[Dict[str, set]] = None):
+        self.synonyms = synonyms or {}
+        self.paraphrases = paraphrases or {}
+        self.max_phrase = max(
+            (len(p.split()) for p in self.paraphrases), default=1
+        )
+
+    @classmethod
+    def load(cls, synonyms_path: Optional[str] = None,
+             paraphrases_path: Optional[str] = None) -> "MatchTables":
+        syn: Dict[str, set] = {}
+        if synonyms_path:
+            with _open_maybe_gz(synonyms_path) as f:
+                for sid, line in enumerate(f):
+                    members = line.split()
+                    for w in members:
+                        syn.setdefault(w, set()).add(sid)
+        para: Dict[str, set] = {}
+        if paraphrases_path:
+            with _open_maybe_gz(paraphrases_path) as f:
+                for line in f:
+                    parts = [p.strip() for p in line.split("|||")]
+                    if len(parts) < 2 or not parts[0] or not parts[1]:
+                        continue
+                    a, b = parts[0], parts[1]
+                    if a == b:
+                        continue
+                    para.setdefault(a, set()).add(b)
+                    para.setdefault(b, set()).add(a)
+        return cls({w: frozenset(s) for w, s in syn.items()}, para)
+
+    def synonymous(self, a: str, b: str) -> bool:
+        sa = self.synonyms.get(a)
+        return bool(sa) and not sa.isdisjoint(self.synonyms.get(b, frozenset()))
 
 
-def _candidates(hyp: Sequence[str], ref: Sequence[str]) -> List[List[Tuple[int, float]]]:
-    """Per hyp position: possible (ref position, weight) matches. Each pair is
-    tagged by its highest-priority matcher (exact beats stem)."""
+def _open_maybe_gz(path: str):
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rt", encoding="utf-8")
+    return open(path, encoding="utf-8")
+
+
+# (hyp_start, hyp_len, ref_start, ref_len, stage weight)
+Match = Tuple[int, int, int, int, float]
+
+
+def _candidates(
+    hyp: Sequence[str], ref: Sequence[str], tables: Optional[MatchTables]
+) -> List[List[Match]]:
+    """Per hyp start position: possible span matches, tagged by the
+    highest-priority stage that produces them (exact > stem > synonym >
+    paraphrase, the jar's stage order)."""
     sh = [_STEM(w) for w in hyp]
     sr = [_STEM(w) for w in ref]
-    out: List[List[Tuple[int, float]]] = []
+    out: List[List[Match]] = []
     for i, w in enumerate(hyp):
-        row = []
+        row: List[Match] = []
         for j, r in enumerate(ref):
             if w == r:
-                row.append((j, WEIGHT_EXACT))
+                row.append((i, 1, j, 1, WEIGHT_EXACT))
             elif sh[i] == sr[j]:
-                row.append((j, WEIGHT_STEM))
+                row.append((i, 1, j, 1, WEIGHT_STEM))
+            elif tables is not None and tables.synonymous(w, r):
+                row.append((i, 1, j, 1, WEIGHT_SYN))
         out.append(row)
+    if tables is not None and tables.paraphrases:
+        taken = [{(m[2], m[3]) for m in row} for row in out]
+        for i in range(len(hyp)):
+            for hl in range(1, min(tables.max_phrase, len(hyp) - i) + 1):
+                phrase = " ".join(hyp[i : i + hl])
+                for other in tables.paraphrases.get(phrase, ()):
+                    ow = other.split()
+                    for j in _find_spans(ref, ow):
+                        if hl == 1 and len(ow) == 1 and (j, 1) in taken[i]:
+                            continue  # a higher stage already covers this pair
+                        out[i].append((i, hl, j, len(ow), WEIGHT_PARA))
     return out
 
 
-class _State:
-    __slots__ = ("mask", "prev", "chunks", "m", "wsum", "dist", "matches")
+def _find_spans(ref: Sequence[str], words: List[str]) -> Iterable[int]:
+    n = len(words)
+    for j in range(len(ref) - n + 1):
+        if list(ref[j : j + n]) == words:
+            yield j
 
-    def __init__(self, mask, prev, chunks, m, wsum, dist, matches):
-        self.mask = mask        # bitmask of used ref positions
-        self.prev = prev        # last matched (hyp_idx, ref_idx) or None
+
+class _State:
+    __slots__ = ("rmask", "hmask", "prev", "chunks", "mh", "mr", "wsum", "dist", "matches")
+
+    def __init__(self, rmask, hmask, prev, chunks, mh, mr, wsum, dist, matches):
+        self.rmask = rmask      # bitmask of used ref positions
+        self.hmask = hmask      # bitmask of used hyp positions
+        self.prev = prev        # last match (hyp_end, ref_end) or None
         self.chunks = chunks
-        self.m = m              # matched word count
-        self.wsum = wsum        # sum of stage weights
-        self.dist = dist        # sum |i - j| over matches
+        self.mh = mh            # covered hyp words
+        self.mr = mr            # covered ref words
+        self.wsum = wsum        # sum of (stage weight x covered words)
+        self.dist = dist        # sum |hyp_start - ref_start| over matches
         self.matches = matches  # tuple of Match
 
     def key(self):
-        # Meteor's alignment comparator: most matches, fewest chunks,
+        # Meteor's alignment comparator: most matched words, fewest chunks,
         # highest stage weight, smallest distance.
-        return (-self.m, self.chunks, -self.wsum, self.dist)
+        return (-(self.mh + self.mr), self.chunks, -self.wsum, self.dist)
 
 
-def _align(hyp: Sequence[str], ref: Sequence[str]) -> List[Match]:
-    """One-to-one alignment via beam search (the jar's Aligner semantics)."""
-    cands = _candidates(hyp, ref)
-    beam = [_State(0, None, 0, 0, 0.0, 0, ())]
+def _align(
+    hyp: Sequence[str], ref: Sequence[str], tables: Optional[MatchTables] = None
+) -> List[Match]:
+    """One-to-one span alignment via beam search (the jar's Aligner
+    semantics). Word-granular coverage: every hyp/ref word is covered by at
+    most one match; phrase matches cover whole spans on both sides."""
+    cands = _candidates(hyp, ref, tables)
+    beam = [_State(0, 0, None, 0, 0, 0, 0.0, 0, ())]
     for i in range(len(hyp)):
         nxt = list(beam)  # leaving hyp[i] unmatched keeps the state as-is
         for st in beam:
-            for j, w in cands[i]:
-                if st.mask >> j & 1:
+            if st.hmask >> i & 1:
+                continue  # already covered by an earlier phrase match
+            for (hs, hl, rs, rl, w) in cands[i]:
+                rbits = ((1 << rl) - 1) << rs
+                hbits = ((1 << hl) - 1) << hs
+                if st.rmask & rbits or st.hmask & hbits:
                     continue
-                contiguous = st.prev == (i - 1, j - 1)
+                contiguous = st.prev == (hs, rs)
                 nxt.append(
                     _State(
-                        st.mask | (1 << j),
-                        (i, j),
+                        st.rmask | rbits,
+                        st.hmask | hbits,
+                        (hs + hl, rs + rl),
                         st.chunks + (0 if contiguous else 1),
-                        st.m + 1,
-                        st.wsum + w,
-                        st.dist + abs(i - j),
-                        st.matches + ((i, j, w),),
+                        st.mh + hl,
+                        st.mr + rl,
+                        st.wsum + w * (hl + rl) / 2.0,
+                        st.dist + abs(hs - rs),
+                        st.matches + ((hs, hl, rs, rl, w),),
                     )
                 )
         nxt.sort(key=_State.key)
@@ -135,10 +234,20 @@ def _chunks(matches: List[Match]) -> int:
         return 0
     ms = sorted(matches)
     ch = 1
-    for (h0, r0, _), (h1, r1, _) in zip(ms, ms[1:]):
-        if h1 != h0 + 1 or r1 != r0 + 1:
+    for (h0, hl0, r0, rl0, _), (h1, _, r1, _, _) in zip(ms, ms[1:]):
+        if h1 != h0 + hl0 or r1 != r0 + rl0:
             ch += 1
     return ch
+
+
+def _coverage(matches: List[Match], side: int) -> Dict[int, float]:
+    """{word index: stage weight} for one side (0 = hyp, 1 = ref)."""
+    cov: Dict[int, float] = {}
+    for (hs, hl, rs, rl, w) in matches:
+        start, length = (hs, hl) if side == 0 else (rs, rl)
+        for k in range(start, start + length):
+            cov[k] = w
+    return cov
 
 
 def _weighted_side(words: Sequence[str], idx_weights: Dict[int, float]) -> Tuple[float, float]:
@@ -153,32 +262,47 @@ def _weighted_side(words: Sequence[str], idx_weights: Dict[int, float]) -> Tuple
     return matched, total
 
 
-def sentence_meteor(hyp_str: str, ref_str: str) -> float:
+def sentence_meteor(
+    hyp_str: str, ref_str: str, tables: Optional[MatchTables] = None
+) -> float:
     hyp, ref = hyp_str.split(), ref_str.split()
     if not hyp or not ref:
         return 0.0
-    matches = _align(hyp, ref)
-    m = len(matches)
-    if m == 0:
+    matches = _align(hyp, ref, tables)
+    if not matches:
         return 0.0
-    mh, th = _weighted_side(hyp, {i: w for i, _, w in matches})
-    mr, tr = _weighted_side(ref, {j: w for _, j, w in matches})
+    cov_h = _coverage(matches, 0)
+    cov_r = _coverage(matches, 1)
+    mh, th = _weighted_side(hyp, cov_h)
+    mr, tr = _weighted_side(ref, cov_r)
     if th == 0 or tr == 0 or mh == 0 or mr == 0:
         return 0.0
     P, R = mh / th, mr / tr
     fmean = P * R / (ALPHA * P + (1 - ALPHA) * R)
+    m = (len(cov_h) + len(cov_r)) / 2.0  # == match count when all 1-to-1
     frag = _chunks(matches) / m
     return (1 - GAMMA * frag**BETA) * fmean
 
 
 class Meteor:
+    """Scorer-stack adapter (eval.py:38-50 contract). Pass table paths to
+    enable the synonymy/paraphrase stages once their data exists."""
+
+    def __init__(self, synonyms_path: Optional[str] = None,
+                 paraphrases_path: Optional[str] = None,
+                 tables: Optional[MatchTables] = None):
+        if tables is None and (synonyms_path or paraphrases_path):
+            tables = MatchTables.load(synonyms_path, paraphrases_path)
+        self.tables = tables
+
     def method(self) -> str:
         return "METEOR"
 
     def compute_score(self, gts: Dict, res: Dict):
         assert gts.keys() == res.keys()
         scores = [
-            max(sentence_meteor(res[iid][0], ref) for ref in gts[iid]) for iid in gts.keys()
+            max(sentence_meteor(res[iid][0], ref, self.tables) for ref in gts[iid])
+            for iid in gts.keys()
         ]
         mean = sum(scores) / len(scores) if scores else 0.0
         return mean, scores

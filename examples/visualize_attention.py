@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--model", default="adaptive_attention")
     ap.add_argument("--backbone", default="resnet152")
     ap.add_argument("--max-len", type=int, default=20)
+    ap.add_argument("--beam", type=int, default=1,
+                    help=">1: visualize the winning beam's attention/beta")
     ap.add_argument("--out", default="attention.png")
     args = ap.parse_args()
 
@@ -38,7 +40,7 @@ def main():
 
     from adaptive_tpu.config import Config
     from adaptive_tpu.data.vocab import Vocabulary
-    from adaptive_tpu.decoding import make_greedy_decoder
+    from adaptive_tpu.decoding import make_beam_decoder, make_greedy_decoder
     from adaptive_tpu.models.factory import build_model
     from adaptive_tpu.training import checkpoint as ckpt
 
@@ -57,7 +59,12 @@ def main():
         img = np.asarray(rgb.resize((cf.resized_image_size,) * 2), np.uint8)[None]
         display = np.asarray(rgb.resize((224, 224)))
 
-    out = make_greedy_decoder(model, cf)(params, state, img)
+    decoder = (
+        make_beam_decoder(model, cf, beam_size=args.beam)
+        if args.beam > 1
+        else make_greedy_decoder(model, cf)
+    )
+    out = decoder(params, state, img)  # both return .ids/.attention/.beta
     ids = np.asarray(out.ids)[0]
     attn = np.asarray(out.attention)[0]  # [L, K]
     beta = np.asarray(out.beta)[0]       # [L]

@@ -77,6 +77,12 @@ def test_beam_not_worse_than_greedy(setup):
     bout = beam(params, state, images)
     assert bout.ids.shape == (2, cf.decode_max_len)
     assert bout.all_ids.shape == (2, 3, cf.decode_max_len)
+    # sampler-contract parity: beam returns the winning beam's attention + beta
+    # (adaptive_attention.py:168-216), same shapes as greedy
+    assert bout.attention.shape == gout.attention.shape
+    assert bout.beta.shape == gout.beta.shape
+    np.testing.assert_allclose(np.asarray(bout.attention).sum(-1), 1.0, atol=1e-4)
+    assert np.isfinite(np.asarray(bout.beta)).all()
 
     # compute greedy sequence logprob by rescoring
     def seq_logprob(ids):
@@ -144,3 +150,10 @@ def test_beam1_mostly_equals_greedy(setup):
     g, b = np.asarray(greedy.ids), np.asarray(beam1.ids)
     agree = (g == b).mean()
     assert agree >= 0.8, (agree, g.tolist(), b.tolist())
+    # where the token paths agree from the start, the attention maps must too
+    # (same math modulo cross-program fusion ULPs)
+    ga, ba = np.asarray(greedy.attention), np.asarray(beam1.attention)
+    for row in range(g.shape[0]):
+        prefix = int(np.argmin(g[row] == b[row])) if (g[row] != b[row]).any() else g.shape[1]
+        if prefix:
+            np.testing.assert_allclose(ga[row, :prefix], ba[row, :prefix], atol=5e-2)

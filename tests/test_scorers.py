@@ -222,3 +222,113 @@ if HAVE_HYPOTHESIS:
         ours_r, _ = Rouge().compute_score(gts, res)
         ref_r, _ = ref_rouge.Rouge().compute_score(gts, res)
         np.testing.assert_allclose(ours_r, ref_r, rtol=1e-12)
+
+
+# ------------------------- METEOR stages 3-4 (pluggable tables) -------------
+
+
+@pytest.fixture()
+def meteor_tables(tmp_path):
+    """Small fixture tables that force the aligner through synonym and
+    paraphrase matches (the real WordNet/paraphrase-en.gz data are missing
+    blobs in the reference too; the stages are code-complete, data-pluggable)."""
+    syn = tmp_path / "synsets.txt"
+    syn.write_text("dog canine hound\ncouch sofa\nquick fast rapid\n")
+    para = tmp_path / "paraphrase.txt"
+    para.write_text(
+        "sprints along ||| runs by\n"
+        "photo ||| picture ||| 0.9\n"
+        "right away ||| immediately\n"
+    )
+    from adaptive_tpu.evalcap.meteor import MatchTables
+
+    return MatchTables.load(str(syn), str(para))
+
+
+def test_meteor_synonym_stage(meteor_tables):
+    """'canine' has no exact/stem overlap with 'dog' but shares a synset:
+    the synonym stage (weight 0.8) must lift the score strictly between the
+    no-match and exact-match cases."""
+    from adaptive_tpu.evalcap.meteor import WEIGHT_SYN, _align
+
+    no_tables = sentence_meteor("canine runs", "dog runs")
+    with_tables = sentence_meteor("canine runs", "dog runs", meteor_tables)
+    exact = sentence_meteor("dog runs", "dog runs")
+    assert no_tables < with_tables < exact
+
+    matches = _align(["canine", "runs"], ["dog", "runs"], meteor_tables)
+    weights = {m[4] for m in matches}
+    assert WEIGHT_SYN in weights, matches
+
+
+def test_meteor_synonym_requires_shared_synset(meteor_tables):
+    # 'couch'/'fast' are each in a synset, but not the same one
+    assert sentence_meteor("couch", "fast", meteor_tables) == 0.0
+    assert sentence_meteor("couch", "sofa", meteor_tables) > 0.0
+
+
+def test_meteor_paraphrase_stage(meteor_tables):
+    """Multi-word paraphrase: 'sprints along' <-> 'runs by' matches a 2-word
+    span to a 2-word span; without tables only 'the'/'cat' words align."""
+    from adaptive_tpu.evalcap.meteor import WEIGHT_PARA, _align
+
+    hyp = "the cat sprints along"
+    ref = "the cat runs by"
+    base = sentence_meteor(hyp, ref)
+    with_tables = sentence_meteor(hyp, ref, meteor_tables)
+    assert with_tables > base
+
+    matches = _align(hyp.split(), ref.split(), meteor_tables)
+    phrase = [m for m in matches if m[4] == WEIGHT_PARA]
+    assert phrase == [(2, 2, 2, 2, WEIGHT_PARA)], matches
+    # full coverage on both sides -> every word covered exactly once
+    covered_h = sorted(i for (hs, hl, _, _, _) in matches for i in range(hs, hs + hl))
+    covered_r = sorted(j for (_, _, rs, rl, _) in matches for j in range(rs, rs + rl))
+    assert covered_h == [0, 1, 2, 3] and covered_r == [0, 1, 2, 3]
+
+
+def test_meteor_paraphrase_single_word_symmetric(meteor_tables):
+    """Single-word paraphrase entries work in both directions (table is
+    symmetric) and never shadow a higher-priority stage."""
+    a = sentence_meteor("photo", "picture", meteor_tables)
+    b = sentence_meteor("picture", "photo", meteor_tables)
+    assert a == b > 0.0
+    # exact match still scores higher than the 0.6-weight paraphrase
+    assert sentence_meteor("photo", "photo", meteor_tables) > a
+
+
+def test_meteor_unequal_span_paraphrase(meteor_tables):
+    """'right away' (2 words) <-> 'immediately' (1 word): span lengths may
+    differ; coverage and fragmentation stay word-granular."""
+    got = sentence_meteor("come here right away", "come here immediately", meteor_tables)
+    base = sentence_meteor("come here right away", "come here immediately")
+    assert got > base > 0.0
+
+
+def test_meteor_tables_do_not_change_exact_stem_path(meteor_tables):
+    """On sentences with no synonym/paraphrase hits, the 4-stage scorer must
+    equal the 2-stage scorer bit-for-bit."""
+    pairs = [
+        ("a man rides a red bike", "a man rides a blue bike"),
+        ("the small cat sits on the beach", "a big cat runs in the park"),
+        ("dogs running fast", "dog runs"),  # stem matches only
+    ]
+    for hyp, ref in pairs:
+        assert sentence_meteor(hyp, ref, meteor_tables) == sentence_meteor(hyp, ref)
+
+
+def test_meteor_canned_corpus_regression():
+    """Pinned expected scores for the exact+stem path: a scoring drift now
+    fails loudly instead of only when it breaks a property (VERDICT r2)."""
+    cases = [
+        ("a dog runs on the beach", "the dog runs along the beach"),
+        ("a man is riding a horse", "a person rides a horse"),
+        ("two birds", "three small birds sit on a wire"),
+    ]
+    got = [round(sentence_meteor(h, r), 10) for h, r in cases]
+    expected = None  # filled below from the first computed values
+    import json, os
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "meteor_canned.json")
+    with open(fix) as f:
+        expected = json.load(f)
+    assert got == expected, (got, expected)
