@@ -119,7 +119,16 @@ class TrainBatches:
         prefetch: int = 4,
         drop_last: bool = True,
         epoch: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """batch_size is the GLOBAL batch. With process_count > 1 the batch
+        plan (shuffle, bucketing) is computed identically on every process
+        from the seed, but each process DECODES only its
+        batch_size/process_count slice of every batch — each image is read
+        once per step cluster-wide (the reference's worker pool also decodes
+        each image once, data_loader.py:114-118). Feed the local batches to
+        place_batch(..., local=True) / device_prefetch(..., local=True)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
@@ -128,6 +137,14 @@ class TrainBatches:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.epoch = epoch
+        if batch_size % process_count:
+            raise ValueError(
+                f"global train_batch_size {batch_size} not divisible by "
+                f"process_count {process_count}"
+            )
+        self.process_index = process_index
+        self.process_count = process_count
+        self.process_sharded = process_count > 1
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.batch_size
@@ -136,9 +153,15 @@ class TrainBatches:
         return n
 
     def _make_batch(self, idxs: List[int]) -> Dict[str, np.ndarray]:
+        # the caption bucket must be agreed on by every process, so it comes
+        # from the cached token lengths of the FULL global batch (no decode)
+        lens = self._caption_lengths()
+        bucket = max(pad_to_bucket(range(lens[i]), self.buckets) for i in idxs)
+        if self.process_sharded:
+            rows = len(idxs) // self.process_count
+            idxs = idxs[self.process_index * rows : (self.process_index + 1) * rows]
         samples = [self.dataset[i] for i in idxs]
         images = np.stack([s[0] for s in samples])
-        bucket = max(pad_to_bucket(s[1], self.buckets) for s in samples)
         captions = np.zeros((len(samples), bucket), dtype=np.int32)  # <pad>=0
         lengths = np.zeros((len(samples),), dtype=np.int32)
         for r, (_, cap, _) in enumerate(samples):
@@ -221,11 +244,12 @@ class EvalBatches:
         yield from _prefetched(self._make_batch, batches, self.num_workers, self.prefetch)
 
 
-def device_prefetch(iterator: Iterator, size: int = 2, sharding=None) -> Iterator:
+def device_prefetch(iterator: Iterator, size: int = 2, sharding=None, local: bool = False) -> Iterator:
     """Overlap host->device transfer with compute: keep `size` batches in
     flight on device (device_put is async). With a NamedSharding, batches land
     already sharded over the mesh (replaces torch DataLoader pinned-memory +
-    DataParallel scatter)."""
+    DataParallel scatter). local=True: batches hold only this process's rows
+    (process-sharded loader contract, see place_batch)."""
     import collections
 
     import jax
@@ -235,7 +259,7 @@ def device_prefetch(iterator: Iterator, size: int = 2, sharding=None) -> Iterato
             return {k: jax.device_put(v) for k, v in batch.items()}
         from adaptive_tpu.parallel.mesh import place_batch
 
-        return place_batch(sharding, batch)
+        return place_batch(sharding, batch, local=local)
 
     buf = collections.deque()
     for item in iterator:

@@ -176,6 +176,24 @@ def get_testOrValid_model(cf, test_mode: bool, valid_mode: bool):
     model = build_model(cf)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(cf.train_random_seed))
     path = cf.test_pretrained_model if test_mode else cf.valid_pretrained_model
+    if path == "auto":
+        # one-command repro: test the best checkpoint of the training run that
+        # just finished in this same invocation (RUNBOOK.md). Searches the
+        # experiment's trained_models dir, then the auto-resume dir.
+        for d in (
+            os.path.join(cf.exp_dir or ".", "trained_models"),
+            getattr(cf, "train_auto_resume_dir", ""),
+        ):
+            found = ckpt.find_best_checkpoint(d)
+            if found:
+                print(f"auto-selected checkpoint: {found}")
+                path = found
+                break
+        else:
+            raise ValueError(
+                "test/valid_pretrained_model='auto' found no 'cider-*_model-N' "
+                "checkpoint dirs; run training first or point at a checkpoint"
+            )
     if not path:
         # The reference crashes in load_state_dict on a bad path (utils.py:262-266);
         # scoring random weights silently would be strictly worse — fail loudly.

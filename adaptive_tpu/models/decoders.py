@@ -201,21 +201,26 @@ def decode_step(
 
     emb = params["embed"][token]  # [B,E]
     x = jnp.concatenate([emb, v_g], axis=-1)  # [B,2E]
-    h_new, (h, c) = lstm_cell(params["lstm"], x, (state.h, state.c))
-
-    h_prev = state.h_prev if sentinel_uses_prev_hidden else jnp.zeros_like(h_new)
 
     if use_pallas and spec.variant == "adaptive_attention":
-        from adaptive_tpu.ops.pallas import adaptive_attention_step_fused
+        # fully fused decode cell: LSTM recurrence + sentinel + attention in
+        # one kernel (SURVEY §7 step 6); only the input projection and the
+        # vocab head stay in XLA as full-batch MXU matmuls
+        from adaptive_tpu.ops.pallas import adaptive_decode_cell_fused
 
         block = params["adaptive"]
+        hp = state.h_prev if sentinel_uses_prev_hidden else jnp.zeros_like(state.h)
         if pv is None:
             pv = V @ block["atten"]["affine_v"]["kernel"]
-        c_hat, alpha1, beta1 = adaptive_attention_step_fused(
-            block["atten"], block["sentinel"], x, h_new, c, h_prev, V, pv
+        h_new, c_new, c_hat, alpha1, beta1 = adaptive_decode_cell_fused(
+            params["lstm"], block["atten"], block["sentinel"], x,
+            state.h, state.c, hp, V, pv,
         )
         logits = mask_padded_vocab(spec, _inits.linear(block["mlp"], c_hat + h_new))
-        return logits, alpha1, beta1, DecodeState(h, c, h_new)
+        return logits, alpha1, beta1, DecodeState(h_new, c_new, h_new)
+
+    h_new, (h, c) = lstm_cell(params["lstm"], x, (state.h, state.c))
+    h_prev = state.h_prev if sentinel_uses_prev_hidden else jnp.zeros_like(h_new)
 
     scores, alpha, beta = adaptive_block_apply(
         params["adaptive"], spec, x[:, None, :], h_new[:, None, :], c[:, None, :],

@@ -121,6 +121,16 @@ def resnet_apply_folded(folded: Dict, x: jnp.ndarray, arch: str) -> jnp.ndarray:
 # (4265 captions/s) -- kept only as the zero-calibration fallback. int32
 # accumulation, fp32 rescale + bias between convs. Opt-in serving mode
 # (encoder_quant='int8'); validate quality on real data before production.
+#
+# int8 residual carry (round 3): the r2 trace showed the three bottleneck-
+# tail fusions (conv3 + residual add + relu + requantize) at 700-880 GB/s —
+# the HBM roofline — with the bf16 residual stream as the dominant bytes
+# (e.g. layer3 conv3: 540 MB/op of which 411 MB is the bf16 residual read +
+# write). With static scales the inter-block activation can live as s8+scale:
+# conv1/downsample read s8 directly (their quantize op and its bf16 read
+# disappear) and conv3's epilogue dequantizes the s8 residual, adds, relus,
+# and requantizes for the next block — halving the dominant traffic. XLA
+# fuses every elementwise step into the conv epilogues; no Pallas needed.
 
 def _quant_w(kernel: jnp.ndarray):
     """Per-output-channel symmetric int8: returns (w_i8 HWIO, scale [cout])."""
@@ -165,24 +175,117 @@ def resnet_apply_folded_int8(
     (see calibrate_int8); validated to cover every conv of `arch` so a stale
     or mismatched calibration fails loudly instead of silently falling back
     to the slow dynamic path. scales=None -> fully dynamic.
+
+    With static scales the fast int8-residual-carry traversal runs (see
+    module comment); dynamic falls back to the per-conv quantize path.
     """
+    if scales is not None:
+        return _resnet_int8_carry(folded, x, arch, scales)
     dt = x.dtype
-    seen = []
 
     def conv(name, xx, p, stride, pad):
-        seen.append(name)
-        s = None if scales is None else scales.get(name)
-        return _conv_i8(xx, p, stride, dt, s, pad)
+        return _conv_i8(xx, p, stride, dt, None, pad)
 
-    y = _folded_forward(folded, x, arch, conv)
-    if scales is not None:
-        missing = [n for n in seen if n not in scales]
-        if missing:
-            raise ValueError(
-                f"int8 scales missing {len(missing)} convs for arch={arch} "
-                f"(e.g. {missing[:3]}); recalibrate with calibrate_int8"
-            )
-    return y
+    return _folded_forward(folded, x, arch, conv)
+
+
+def _acc_i8(x_s8, kernel_f32, x_scale, stride=1, pad=None):
+    """int8 conv returning (int32 accumulator, combined fp32 scale [cout])."""
+    wq, sw = _quant_w(kernel_f32.astype(jnp.float32))
+    if pad is None:
+        k = kernel_f32.shape[0]
+        pad = [((k - 1) // 2, (k - 1) // 2)] * 2
+    acc = jax.lax.conv_general_dilated(
+        x_s8, wq, (stride, stride), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return acc, (x_scale * sw)
+
+
+def _requant(y_f32, scale):
+    """fp32 -> s8 with a static scale (pure elementwise; fuses upstream)."""
+    return jnp.clip(jnp.round(y_f32 / scale), -127, 127).astype(jnp.int8)
+
+
+def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict) -> jnp.ndarray:
+    """int8-activation-carry forward: inter-block tensors stay s8+scale.
+
+    Same traversal order/naming as _folded_forward (so calibrate_int8's scale
+    names match), but the block residual is dequantized from s8 inside the
+    conv3 epilogue instead of riding HBM as bf16. The extra quantization the
+    residual suffers is covered by the int8 quality gates
+    (tests/test_pipeline.py, tests/test_int8.py)."""
+    dt = x.dtype
+    block_type, stages = R.RESNET_SPECS[arch]
+    need = ["conv1"]
+    for li, n_blocks in enumerate(stages):
+        for bi in range(n_blocks):
+            n_convs = 3 if block_type == "bottleneck" else 2
+            need += [f"layer{li+1}.{bi}.conv{ci}" for ci in range(1, n_convs + 1)]
+            if "downsample" in folded[f"layer{li+1}"][bi]:
+                need.append(f"layer{li+1}.{bi}.downsample")
+    missing = [n for n in need if n not in scales]
+    if missing:
+        raise ValueError(
+            f"int8 scales missing {len(missing)} convs for arch={arch} "
+            f"(e.g. {missing[:3]}); recalibrate with calibrate_int8"
+        )
+
+    # stem: bf16 conv1 + relu + maxpool, then enter the s8 domain
+    p = folded["conv1"]
+    s0 = scales["conv1"]
+    acc, sc = _acc_i8(_requant(x.astype(jnp.float32), s0), p["kernel"], s0,
+                      2, [(3, 3), (3, 3)])
+    y = jax.nn.relu(acc.astype(jnp.float32) * sc[None, None, None, :] + p["bias"]).astype(dt)
+    y = jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)]
+    )
+
+    s_in = scales["layer1.0.conv1"]
+    y_s8 = _requant(y.astype(jnp.float32), s_in)
+
+    block_list = [
+        (li, bi) for li, n_blocks in enumerate(stages) for bi in range(n_blocks)
+    ]
+    for idx, (li, bi) in enumerate(block_list):
+        p = folded[f"layer{li+1}"][bi]
+        nm = f"layer{li+1}.{bi}"
+        stride = 2 if (li > 0 and bi == 0) else 1
+        last = idx == len(block_list) - 1
+        s_out = None if last else scales[
+            f"layer{block_list[idx+1][0]+1}.{block_list[idx+1][1]}.conv1"
+        ]
+
+        def mid(name, z_s8, z_scale, cp, strd):  # conv + rescale + bias + relu + requant
+            acc, csc = _acc_i8(z_s8, cp["kernel"], z_scale, strd)
+            z = jax.nn.relu(acc.astype(jnp.float32) * csc[None, None, None, :] + cp["bias"])
+            return z
+
+        if block_type == "bottleneck":
+            z = mid(f"{nm}.conv1", y_s8, s_in, p["conv1"], 1)
+            s2 = scales[f"{nm}.conv2"]
+            z = mid(f"{nm}.conv2", _requant(z, s2), s2, p["conv2"], stride)
+            s3 = scales[f"{nm}.conv3"]
+            acc, csc = _acc_i8(_requant(z, s3), p["conv3"]["kernel"], s3)
+            tail = acc.astype(jnp.float32) * csc[None, None, None, :] + p["conv3"]["bias"]
+        else:
+            z = mid(f"{nm}.conv1", y_s8, s_in, p["conv1"], stride)
+            s2 = scales[f"{nm}.conv2"]
+            acc, csc = _acc_i8(_requant(z, s2), p["conv2"]["kernel"], s2)
+            tail = acc.astype(jnp.float32) * csc[None, None, None, :] + p["conv2"]["bias"]
+
+        if "downsample" in p:
+            dacc, dsc = _acc_i8(y_s8, p["downsample"]["kernel"], s_in, stride)
+            shortcut = dacc.astype(jnp.float32) * dsc[None, None, None, :] + p["downsample"]["bias"]
+        else:
+            shortcut = y_s8.astype(jnp.float32) * s_in  # s8 dequant: 1 byte/elem read
+
+        out = jax.nn.relu(tail + shortcut)
+        if last:
+            return out.astype(dt)
+        y_s8 = _requant(out, s_out)
+        s_in = s_out
 
 
 def calibrate_model(model, cf, params, state, images_u8):

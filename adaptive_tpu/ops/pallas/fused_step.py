@@ -94,6 +94,156 @@ def _kernel(K: int, x_ref, h_ref, cell_ref, hp_ref, pv_ref, V_ref,
     beta_ref[:] = beta.astype(beta_ref.dtype)
 
 
+def _cell_kernel(K: int, H: int, gx_ref, h_ref, c_ref, x_ref, hp_ref, pv_ref, V_ref,
+                 whh_ref, bhh_ref, wx_ref, whs_ref, wg_ref, ws_ref, wh_ref,
+                 hnew_ref, cnew_ref, chat_ref, alpha_ref, beta_ref):
+    """LSTM cell + sentinel + adaptive attention in one VMEM-resident kernel
+    (SURVEY.md §7 step 6 / hard part #1: the fused decode cell).
+
+    The time-invariant input projection gates_x = x@W_ih + b_ih stays an XLA
+    batched matmul outside (cuDNN-style split, ops/lstm.py); the recurrence
+    h@W_hh, the gate nonlinearities, and the whole attention block run here —
+    h_new/c_new/c_hat never round-trip HBM between those stages.
+    """
+    f32 = jnp.float32
+    h_in = h_ref[:].astype(f32)
+    c_in = c_ref[:].astype(f32)
+
+    # LSTM cell (torch gate order i,f,g,o; ops/lstm.py:_gates_step parity)
+    gates = gx_ref[:].astype(f32) + jnp.dot(
+        h_in, whh_ref[:].astype(f32), preferred_element_type=f32
+    ) + bhh_ref[:].astype(f32)
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    cell = f * c_in + i * g
+    h = o * jnp.tanh(cell)
+
+    x = x_ref[:].astype(f32)
+    hp = hp_ref[:].astype(f32)
+
+    # sentinel gate (adaptive_attention.py:79-83)
+    gate = jax.nn.sigmoid(
+        jnp.dot(x, wx_ref[:].astype(f32), preferred_element_type=f32)
+        + jnp.dot(hp, whs_ref[:].astype(f32), preferred_element_type=f32)
+    )
+    s = gate * jnp.tanh(cell)
+
+    ph = jnp.dot(h, wg_ref[:].astype(f32), preferred_element_type=f32)
+    wh = wh_ref[:].astype(f32)
+
+    content = jnp.tanh(pv_ref[:].astype(f32) + ph[:, None, :])
+    z = jnp.sum(content * wh[None, :, :], axis=-1)
+    KP = z.shape[1]
+    kmask = jax.lax.broadcasted_iota(jnp.int32, (1, KP), 1) < K
+    z = jnp.where(kmask, z, NEG)
+
+    content_s = jnp.tanh(
+        jnp.dot(s, ws_ref[:].astype(f32), preferred_element_type=f32) + ph
+    )
+    z_s = jnp.sum(content_s * wh[0][None, :], axis=-1, keepdims=True)
+
+    m = jnp.max(z, axis=-1, keepdims=True)
+    e = jnp.where(kmask, jnp.exp(z - m), 0.0)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    alpha = e / denom
+
+    m2 = jnp.maximum(m, z_s)
+    denom2 = denom * jnp.exp(m - m2) + jnp.exp(z_s - m2)
+    beta = jnp.exp(z_s - m2) / denom2
+
+    ctx = jnp.sum(alpha[:, :, None] * V_ref[:].astype(f32), axis=1)
+    hnew_ref[:] = h.astype(hnew_ref.dtype)
+    cnew_ref[:] = cell.astype(cnew_ref.dtype)
+    chat_ref[:] = (beta * s + (1.0 - beta) * ctx).astype(chat_ref.dtype)
+    alpha_ref[:] = alpha.astype(alpha_ref.dtype)
+    beta_ref[:] = beta.astype(beta_ref.dtype)
+
+
+def adaptive_decode_cell_fused(
+    lstm: dict, atten: dict, sentinel: dict, x: jnp.ndarray,
+    h_in: jnp.ndarray, c_in: jnp.ndarray, h_prev: jnp.ndarray,
+    V: jnp.ndarray, pv: jnp.ndarray, interpret: bool = False,
+):
+    """Fused single-token decode cell: LSTM + sentinel + adaptive attention.
+
+    x [B,2E], h_in/c_in/h_prev [B,H], V [B,K,H], pv [B,K,D].
+    Returns (h_new [B,H], c_new [B,H], c_hat [B,H], alpha [B,K], beta [B,1]).
+    Numerics: equals lstm_cell + the jnp attention path to fp32 tolerance
+    (tests/test_pallas.py, interpret mode on CPU).
+    """
+    B, K, H = V.shape
+    D = pv.shape[-1]
+    KP, DP = _round_up(K, 64), _round_up(D, 64)
+    BP = _round_up(B, 8)
+    Bb = min(64, BP)
+    BP = _round_up(BP, Bb)
+
+    f32 = jnp.float32
+    # input projection as one full-batch MXU matmul, outside the kernel
+    gx = (x @ lstm["w_ih"] + lstm["b_ih"]).astype(f32)
+
+    padB = lambda a: jnp.pad(a, ((0, BP - B),) + ((0, 0),) * (a.ndim - 1))
+    gx_, h_, c_, x_, hp_ = (padB(t) for t in (gx, h_in, c_in, x, h_prev))
+    V_ = jnp.pad(V, ((0, BP - B), (0, KP - K), (0, 0)))
+    pv_ = jnp.pad(pv, ((0, BP - B), (0, KP - K), (0, DP - D)))
+
+    whh = lstm["w_hh"]
+    bhh = lstm["b_hh"][None, :]
+    wx = sentinel["affine_x"]["kernel"]
+    whs = sentinel["affine_h"]["kernel"]
+    wg = jnp.pad(atten["affine_g"]["kernel"], ((0, 0), (0, DP - D)))
+    ws = jnp.pad(atten["affine_s"]["kernel"], ((0, 0), (0, DP - D)))
+    wh = jnp.pad(atten["affine_h"]["kernel"][:, 0][None, :], ((0, 0), (0, DP - D)))
+
+    E2 = x.shape[-1]
+    grid = (BP // Bb,)
+    row = lambda i: (i, 0)
+    row3 = lambda i: (i, 0, 0)
+    rep = lambda i: (0, 0)
+    out_dtype = h_in.dtype
+
+    outs = pl.pallas_call(
+        functools.partial(_cell_kernel, K, H),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Bb, 4 * H), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, H), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, H), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, E2), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, H), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, KP, DP), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, KP, H), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * H), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((E2, H), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, DP), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, DP), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, DP), rep, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Bb, H), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, H), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, H), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, KP), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, 1), row, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BP, H), out_dtype),
+            jax.ShapeDtypeStruct((BP, H), out_dtype),
+            jax.ShapeDtypeStruct((BP, H), out_dtype),
+            jax.ShapeDtypeStruct((BP, KP), f32),
+            jax.ShapeDtypeStruct((BP, 1), f32),
+        ],
+        interpret=interpret,
+    )(gx_, h_, c_, x_, hp_, pv_, V_, whh, bhh, wx, whs, wg, ws, wh)
+
+    h_new, c_new, chat, alpha, beta = outs
+    return h_new[:B], c_new[:B], chat[:B], alpha[:B, :K], beta[:B]
+
+
 def adaptive_attention_step_fused(
     atten: dict, sentinel: dict, x: jnp.ndarray, h: jnp.ndarray,
     cell: jnp.ndarray, h_prev: jnp.ndarray, V: jnp.ndarray,

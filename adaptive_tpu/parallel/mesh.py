@@ -60,24 +60,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def place_batch(sharding: NamedSharding, batch: Dict[str, Any]) -> Dict[str, Any]:
+def place_batch(
+    sharding: NamedSharding, batch: Dict[str, Any], local: bool = False
+) -> Dict[str, Any]:
     """Place one host batch dict on devices under `sharding` (leading-dim DP).
 
     Single-host: a plain device_put. Multi-host (jax.process_count() > 1):
-    the loaders are seed-deterministic, so every process holds the SAME
-    global batch; each process contributes its process_index slice of the
-    leading dim and `jax.make_array_from_process_local_data` assembles the
-    global array — devices never receive duplicated rows and no cross-host
-    transfer happens. (Each host redundantly decoding the full batch is a
-    known inefficiency, not a correctness issue; a process-sharded reader is
-    the optimization.) Used by both shard_batch and the loader's
-    device_prefetch so the two paths cannot diverge.
+    `jax.make_array_from_process_local_data` assembles the global array from
+    each process's contribution — devices never receive duplicated rows and
+    no cross-host transfer happens. Two input contracts:
+
+    * local=True — `batch` holds only THIS process's rows (the process-
+      sharded loaders: TrainBatches(process_index=..., process_count=...)
+      decode each image once cluster-wide);
+    * local=False — every process holds the identical full global batch
+      (seed-deterministic loaders) and contributes its process_index slice.
+
+    Used by both shard_batch and the loader's device_prefetch so the paths
+    cannot diverge.
     """
     if jax.process_count() > 1:
         pc, pi = jax.process_count(), jax.process_index()
         out = {}
         for k, v in batch.items():
             v = np.asarray(v)
+            if local:
+                out[k] = jax.make_array_from_process_local_data(sharding, v)
+                continue
             if v.shape[0] % pc:
                 raise ValueError(
                     f"global batch dim {v.shape[0]} not divisible by "

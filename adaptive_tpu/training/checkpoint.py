@@ -218,6 +218,25 @@ def find_latest_checkpoint(directory: str) -> Optional[str]:
     return best[1] or None
 
 
+def find_best_checkpoint(directory: str) -> Optional[str]:
+    """Path of the highest-CIDEr complete checkpoint dir under `directory`
+    (the 'cider-X.XXXX' prefix of the reference's filename contract). Ties
+    go to the later epoch. None when nothing matches."""
+    if not directory or not os.path.isdir(directory):
+        return None
+    best: Tuple[float, int, str] = (-1.0, -1, "")
+    for name in os.listdir(directory):
+        if name.endswith(".tmp"):
+            continue
+        m = re.match(r"cider-([\d.]+)_model-(\d+)$", name)
+        full = os.path.join(directory, name)
+        if m and os.path.isdir(full):
+            key = (float(m.group(1)), int(m.group(2)), full)
+            if key[:2] > best[:2]:
+                best = key
+    return best[2] or None
+
+
 def epoch_from_filename(path: str) -> int:
     """Parse epoch N from '...model-N[.*]' (model_factory.py:19)."""
     m = re.search(r"model-(\d+)", os.path.basename(path.rstrip("/")))

@@ -71,6 +71,10 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
         cf.train_batch_size,
         seed=cf.train_random_seed,
         num_workers=cf.dataloader_num_workers,
+        # multi-host: every process computes the same batch plan from the
+        # seed but decodes only its slice (each image read once cluster-wide)
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
     )
 
     writer = MetricWriter(os.path.join(cf.exp_dir or ".", "tensorboard"))
@@ -85,6 +89,12 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
         if cf.train_batch_size % candidate.shape[cf.mesh_axes[0]] == 0:
             mesh = candidate
         else:
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "multi-process training requires a mesh: set "
+                    "train_batch_size (%d) to a multiple of the data axis %d"
+                    % (cf.train_batch_size, candidate.shape[cf.mesh_axes[0]])
+                )
             print(
                 "mesh disabled: batch %d not divisible by data axis %d"
                 % (cf.train_batch_size, candidate.shape[cf.mesh_axes[0]])
@@ -179,7 +189,9 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
         loss_sum = None
         n_steps = 0
         batches = device_prefetch(
-            iter(loader), size=2, sharding=data_sharding(mesh) if mesh is not None else None
+            iter(loader), size=2,
+            sharding=data_sharding(mesh) if mesh is not None else None,
+            local=loader.process_sharded,
         )
         for i, batch in enumerate(batches):
             rng, step_key = jax.random.split(rng)

@@ -69,6 +69,48 @@ def device_op_summary(events: List[dict], iters: int = 1) -> List[Tuple[str, flo
     )
 
 
+_DECODE_OPS = (
+    "while", "iota_reduce", "closed_call", "dynamic_update_slice",
+    "constant_dynamic-update-slice", "compare_or", "broadcast_in_dim",
+    "convert_reduce",
+)
+
+
+def stage_split(events: List[dict], iters: int = 1) -> Dict[str, float]:
+    """Device ms/iter per pipeline stage of the decode benchmark program.
+
+    Classification: the 30-step decode scan and its argmax/top-k plumbing by
+    op name; preprocessing by operand shapes still carrying 3 channels or the
+    raw 256x256 frame; everything else (the conv stack and its quantize /
+    residual epilogues) is the encoder. Heuristic by design — used for the
+    bench.py --verbose breakdown, not for accounting-grade numbers.
+    """
+    lane_name: Dict[Tuple, str] = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            lane_name[(e.get("pid"), e.get("tid"))] = e.get("args", {}).get("name", "")
+    ops_lanes = {k for k, v in lane_name.items() if "XLA Ops" in v}
+
+    out = {"preprocess_ms": 0.0, "encoder_ms": 0.0, "decode_ms": 0.0}
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if ops_lanes and (e.get("pid"), e.get("tid")) not in ops_lanes:
+            continue
+        name = e.get("name", "")
+        if not name or any(name.startswith(p) for p in _HOST_PREFIXES):
+            continue
+        long_name = e.get("args", {}).get("long_name", "")
+        if any(name.startswith(p) for p in _DECODE_OPS):
+            key = "decode_ms"
+        elif ",3]" in long_name or "256,256" in long_name or "224,224,3" in long_name:
+            key = "preprocess_ms"
+        else:
+            key = "encoder_ms"
+        out[key] += e["dur"]
+    return {k: round(v / iters / 1e3, 2) for k, v in out.items()}
+
+
 def format_report(summary: List[Tuple[str, float, int]], top: int = 20) -> str:
     total = sum(ms for _, ms, _ in summary)
     lines = [f"device time: {total:.1f} ms/iter", "-" * 56]

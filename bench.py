@@ -220,7 +220,14 @@ def main():
                    help="stream uint8 batches from host RAM via device_prefetch")
     p.add_argument("--prefetch", type=int, default=2, help="device_prefetch depth")
     p.add_argument("--profile-dir", default="", help="write a jax.profiler trace here")
+    p.add_argument("--verbose", action="store_true",
+                   help="decode mode: add per-stage breakdown (preprocess/encoder/"
+                        "decode ms + encoder MXU%%) to the JSON line via a trace capture")
     args = p.parse_args()
+    if args.verbose and args.mode == "decode" and not args.profile_dir:
+        import tempfile
+
+        args.profile_dir = tempfile.mkdtemp(prefix="bench_trace_")
     if not args.batch:
         args.batch = 512 if args.mode == "decode" else 256
 
@@ -266,6 +273,21 @@ def main():
             "overlap_max": round(serial / max(t_up, t_dev), 3),
         }
 
+    if args.verbose and args.mode == "decode" and not args.host_input:
+        from adaptive_tpu.utils.trace_report import load_trace_events, stage_split
+
+        try:
+            stages = stage_split(load_trace_events(args.profile_dir), args.iters)
+            macs = _encoder_macs(args.backbone, 224) * args.batch
+            peak_tops = 394.0 if args.quant == "int8" else 197.0  # v5e chip peaks
+            if stages.get("encoder_ms"):
+                tops = 2 * macs / (stages["encoder_ms"] / 1e3) / 1e12
+                stages["encoder_tops"] = round(tops, 1)
+                stages["encoder_mxu_pct"] = round(100 * tops / peak_tops, 1)
+            extra.update(stages)
+        except Exception as e:  # breakdown is best-effort; never break the contract
+            extra["stage_split_error"] = f"{type(e).__name__}: {e}"
+
     rate = args.batch / dt
     print(json.dumps({
         "metric": metric,
@@ -274,6 +296,39 @@ def main():
         "vs_baseline": round(rate / anchor, 4),
         **extra,
     }))
+
+
+def _encoder_macs(arch: str, crop: int) -> int:
+    """Conv MACs of one image through the resnet backbone (for MXU%)."""
+    from adaptive_tpu.models.resnet import RESNET_SPECS
+
+    block_type, stages = RESNET_SPECS[arch]
+    hw = crop // 2  # conv1 stride 2
+    total = hw * hw * 7 * 7 * 3 * 64
+    hw //= 2  # maxpool
+    cin = 64
+    width = 64
+    for li, n_blocks in enumerate(stages):
+        width = 64 * (2 ** li)
+        for bi in range(n_blocks):
+            stride = 2 if (li > 0 and bi == 0) else 1
+            out_hw = hw // stride
+            if block_type == "bottleneck":
+                cout = width * 4
+                total += hw * hw * cin * width            # conv1 1x1 (pre-stride)
+                total += out_hw * out_hw * 9 * width * width   # conv2 3x3 (strided)
+                total += out_hw * out_hw * width * cout   # conv3 1x1
+                if bi == 0:
+                    total += out_hw * out_hw * cin * cout  # downsample
+            else:
+                cout = width
+                total += out_hw * out_hw * 9 * cin * width
+                total += out_hw * out_hw * 9 * width * width
+                if bi == 0 and (li > 0 or cin != cout):
+                    total += out_hw * out_hw * cin * cout
+            cin = cout
+            hw = out_hw
+    return total
 
 
 if __name__ == "__main__":

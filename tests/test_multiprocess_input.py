@@ -1,0 +1,142 @@
+"""Process-sharded multi-host input: a real 2-process jax.distributed run on
+CPU must assemble the same global batch the single-process loader produces,
+with each process decoding only its half (VERDICT r2 #5).
+
+The 2 workers are subprocesses (jax.distributed.initialize cannot run twice
+in one process); they coordinate over a local TCP port. Worker 0 gathers the
+assembled global arrays and writes them for the parent to compare.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+sys.path.insert(0, os.environ["REPO"])
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=os.environ["COORD"],
+    num_processes=2,
+    process_id=int(os.environ["PID_IDX"]),
+)
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from adaptive_tpu.data.loader import CocoCaptionDataset, TrainBatches
+from adaptive_tpu.data.vocab import Vocabulary
+from adaptive_tpu.parallel.mesh import place_batch
+
+ws = os.environ["WS"]
+vocab = Vocabulary.load(os.path.join(ws, "vocab.json"))
+ds = CocoCaptionDataset(os.environ["ROOT"], os.environ["ANN"], vocab)
+loader = TrainBatches(
+    ds, batch_size=8, seed=7, num_workers=2,
+    process_index=jax.process_index(), process_count=jax.process_count(),
+)
+mesh = Mesh(np.asarray(jax.devices()).reshape(2, 1), ("data", "model"))
+sharding = NamedSharding(mesh, P("data"))
+batch = next(iter(loader))
+assert batch["images"].shape[0] == 4, batch["images"].shape  # local half only
+placed = place_batch(sharding, batch, local=True)
+from jax.experimental import multihost_utils
+out = {k: np.asarray(multihost_utils.process_allgather(v, tiled=True))
+       for k, v in placed.items()}
+if jax.process_index() == 0:
+    np.savez(os.path.join(ws, "global_batch.npz"), **out)
+"""
+
+
+def test_two_process_input_matches_single_process(tmp_path):
+    # synthetic dataset both workers read
+    sys.path.insert(0, REPO)
+    from adaptive_tpu.data.synthetic import make_synthetic_dataset
+    from adaptive_tpu.data.coco_api import COCO
+    from adaptive_tpu.data.loader import CocoCaptionDataset, TrainBatches
+    from adaptive_tpu.data.vocab import Vocabulary, build_vocab
+
+    ws = str(tmp_path)
+    ann, resized = make_synthetic_dataset(ws, num_images=16, image_size=48, seed=5)
+    v = build_vocab((a["caption"] for a in COCO(ann).anns.values()), threshold=1)
+    v.save(os.path.join(ws, "vocab.json"))
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker_py = os.path.join(ws, "worker.py")
+    with open(worker_py, "w") as f:
+        f.write(WORKER)
+    env = {
+        **os.environ,
+        "REPO": REPO,
+        "WS": ws,
+        "ANN": ann,
+        "ROOT": resized,
+        "COORD": f"localhost:{port}",
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker_py], env={**env, "PID_IDX": str(i)},
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=240)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+
+    got = dict(np.load(os.path.join(ws, "global_batch.npz")))
+
+    # single-process reference: identical plan, full decode
+    vocab = Vocabulary.load(os.path.join(ws, "vocab.json"))
+    ds = CocoCaptionDataset(resized, ann, vocab)
+    ref = next(iter(TrainBatches(ds, batch_size=8, seed=7, num_workers=2)))
+    for k in ("images", "captions", "lengths", "img_ids"):
+        np.testing.assert_array_equal(got[k], ref[k], err_msg=k)
+
+
+def test_process_sharded_loader_slices_locally(tmp_path):
+    """No jax.distributed needed: the two half-loaders' local batches must
+    concatenate to the single-process global batch, same bucket choice."""
+    sys.path.insert(0, REPO)
+    from adaptive_tpu.data.synthetic import make_synthetic_dataset
+    from adaptive_tpu.data.coco_api import COCO
+    from adaptive_tpu.data.vocab import build_vocab, Vocabulary
+    from adaptive_tpu.data.loader import CocoCaptionDataset, TrainBatches
+
+    ws = str(tmp_path)
+    ann, resized = make_synthetic_dataset(ws, num_images=16, image_size=48, seed=6)
+    v = build_vocab((a["caption"] for a in COCO(ann).anns.values()), threshold=1)
+    ds = CocoCaptionDataset(resized, ann, v)
+
+    full = list(TrainBatches(ds, 8, seed=3, num_workers=2))
+    halves = [
+        list(TrainBatches(ds, 8, seed=3, num_workers=2, process_index=i, process_count=2))
+        for i in range(2)
+    ]
+    assert len(full) == len(halves[0]) == len(halves[1])
+    for bi, ref in enumerate(full):
+        lo, hi = halves[0][bi], halves[1][bi]
+        assert lo["images"].shape[0] == 4
+        for k in ("images", "captions", "lengths", "img_ids"):
+            np.testing.assert_array_equal(
+                np.concatenate([lo[k], hi[k]]), ref[k], err_msg=f"batch {bi} key {k}"
+            )
+
+
+def test_process_sharded_loader_rejects_indivisible():
+    from adaptive_tpu.data.loader import TrainBatches
+
+    with pytest.raises(ValueError, match="divisible"):
+        TrainBatches(dataset=None, batch_size=9, process_index=0, process_count=2)

@@ -60,3 +60,74 @@ def test_fused_step_handles_nondivisible_batch():
     assert chat.shape == (B, H) and alpha.shape == (B, K) and beta.shape == (B, 1)
     np.testing.assert_allclose(np.asarray(alpha.sum(-1)), 1.0, atol=1e-5)
     assert (np.asarray(beta) > 0).all() and (np.asarray(beta) < 1).all()
+
+
+@pytest.mark.parametrize("B,K,H,E2", [(3, 4, 16, 8), (8, 49, 32, 12)])
+def test_fused_decode_cell_matches_jnp(B, K, H, E2):
+    """The v2 kernel (LSTM cell + sentinel + attention, SURVEY §7 step 6)
+    must equal lstm_cell + the jnp attention path."""
+    from adaptive_tpu.ops.lstm import lstm_cell
+    from adaptive_tpu.ops.pallas.fused_step import adaptive_decode_cell_fused
+
+    rng = np.random.default_rng(2)
+    D = K
+    f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    atten = {
+        "affine_v": {"kernel": f(H, D)},
+        "affine_g": {"kernel": f(H, D)},
+        "affine_s": {"kernel": f(H, D)},
+        "affine_h": {"kernel": f(D, 1)},
+    }
+    sentinel = {"affine_x": {"kernel": f(E2, H)}, "affine_h": {"kernel": f(H, H)}}
+    lstm = {
+        "w_ih": f(E2, 4 * H), "w_hh": f(H, 4 * H) * 0.2,
+        "b_ih": f(4 * H) * 0.1, "b_hh": f(4 * H) * 0.1,
+    }
+    x, h_in, c_in, hp = f(B, E2), f(B, H), f(B, H), f(B, H)
+    V = f(B, K, H)
+    pv = att.precompute_slots(atten, V)
+
+    want_h, (_, want_c) = lstm_cell(lstm, x, (h_in, c_in))
+    s = att.sentinel_gate(sentinel, x[:, None], hp[:, None], want_c[:, None])
+    want_chat, want_alpha, want_beta = att.adaptive_attention(atten, V, want_h[:, None], s, pv)
+
+    got_h, got_c, got_chat, got_alpha, got_beta = adaptive_decode_cell_fused(
+        lstm, atten, sentinel, x, h_in, c_in, hp, V, pv, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_chat), np.asarray(want_chat[:, 0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_alpha), np.asarray(want_alpha[:, 0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_beta), np.asarray(want_beta[:, 0]), atol=1e-5)
+
+
+def test_fused_decode_cell_in_decode_step(tiny_cf):
+    """decode_step with use_pallas on (interpret mode) must equal the jnp
+    path end-to-end — logits, attention, beta, and the carried state."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adaptive_tpu.models.factory import build_model
+
+    cf = tiny_cf.replace(atten_model_name="adaptive_attention")
+    plain = build_model(cf.replace(use_pallas="never"))
+    fused = build_model(cf.replace(use_pallas="always"))
+    params, state = plain.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(3)
+    H = cf.adaptive_lstm_hidden_size
+    K = (cf.train_crop_size // 32) ** 2
+    B = 4
+    V = jnp.asarray(rng.normal(size=(B, K, H)), jnp.float32)
+    v_g = jnp.asarray(rng.normal(size=(B, cf.adaptive_word_embed_size)), jnp.float32)
+    dstate = plain.init_decode_state(
+        jnp.zeros((B, H), jnp.float32), jnp.zeros((B, H), jnp.float32)
+    )
+    tok = jnp.array([1, 2, 3, 1], jnp.int32)
+
+    ref = plain.decode_step(params, tok, v_g, dstate, V, False)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused.decode_step(params, tok, v_g, dstate, V, False)
+    for name, a, b in zip(("logits", "alpha", "beta"), got[:3], ref[:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, err_msg=name)
+    for name, a, b in zip(("h", "c", "h_prev"), got[3], ref[3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, err_msg=name)
