@@ -232,18 +232,22 @@ def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict) ->
             f"(e.g. {missing[:3]}); recalibrate with calibrate_int8"
         )
 
-    # stem: bf16 conv1 + relu + maxpool, then enter the s8 domain
+    # stem: conv1 + relu, quantize BEFORE the maxpool, pool in the s8 domain.
+    # max commutes with the monotone requant, and post-relu the global max
+    # survives 3x3/s2 pooling (every element is covered by a window), so
+    # quantize-then-pool == pool-then-quantize BIT-EXACTLY while the stem
+    # intermediate shrinks 822 MB bf16 -> 206 MB s8 and the standalone
+    # quantize pass disappears (measured ~3 ms of the decode step).
     p = folded["conv1"]
     s0 = scales["conv1"]
+    s_in = scales["layer1.0.conv1"]
     acc, sc = _acc_i8(_requant(x.astype(jnp.float32), s0), p["kernel"], s0,
                       2, [(3, 3), (3, 3)])
-    y = jax.nn.relu(acc.astype(jnp.float32) * sc[None, None, None, :] + p["bias"]).astype(dt)
-    y = jax.lax.reduce_window(
-        y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)]
+    y = jax.nn.relu(acc.astype(jnp.float32) * sc[None, None, None, :] + p["bias"])
+    y_s8 = jax.lax.reduce_window(
+        _requant(y, s_in), jnp.int8(-128), jax.lax.max,
+        (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)]
     )
-
-    s_in = scales["layer1.0.conv1"]
-    y_s8 = _requant(y.astype(jnp.float32), s_in)
 
     block_list = [
         (li, bi) for li, n_blocks in enumerate(stages) for bi in range(n_blocks)
@@ -278,6 +282,13 @@ def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict) ->
         if "downsample" in p:
             dacc, dsc = _acc_i8(y_s8, p["downsample"]["kernel"], s_in, stride)
             shortcut = dacc.astype(jnp.float32) * dsc[None, None, None, :] + p["downsample"]["bias"]
+            s_sc = scales.get(f"{nm}.downsample_out")
+            if s_sc is not None:
+                # keep the shortcut branch s8 too: otherwise the tail epilogue
+                # reads two raw s32 accumulator streams and XLA spills one to
+                # HBM at 4 bytes/elem (measured ~10 ms across the 4 downsample
+                # blocks). The extra quantization is covered by the gates.
+                shortcut = _requant(shortcut, s_sc).astype(jnp.float32) * s_sc
         else:
             shortcut = y_s8.astype(jnp.float32) * s_in  # s8 dequant: 1 byte/elem read
 
@@ -318,7 +329,12 @@ def calibrate_int8(enc_params: Dict, state: Dict, images, arch: str) -> Dict[str
 
         def conv(name, xx, p, stride, pad):
             out[name] = jnp.max(jnp.abs(xx.astype(jnp.float32)))
-            return _plain_conv(name, xx, p, stride, pad)
+            y = _plain_conv(name, xx, p, stride, pad)
+            if name.endswith("downsample"):
+                # shortcut-branch OUTPUT scale: lets the int8-carry forward
+                # keep the downsample branch s8 (no s32 accumulator spill)
+                out[name + "_out"] = jnp.max(jnp.abs(y.astype(jnp.float32)))
+            return y
 
         _folded_forward(folded, images.astype(jnp.float32), arch, conv)
         return out

@@ -117,14 +117,12 @@ def _init_basic(key, cin, width, has_down, stride):
 def _conv(x, kernel, stride=1):
     # torch pads (k-1)//2 on BOTH sides; XLA's "SAME" pads asymmetrically for
     # stride 2, which would misalign pretrained torch weights — so explicit.
-    pad = (kernel.shape[0] - 1) // 2
-    return jax.lax.conv_general_dilated(
-        x,
-        kernel.astype(x.dtype),
-        window_strides=(stride, stride),
-        padding=[(pad, pad), (pad, pad)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    # Routed through ops.quant_conv so the experimental int8-backward mode
+    # (bench.py --mode train --conv-bwd-quant) can swap the VJP; the default
+    # mode is a plain conv_general_dilated, bit-identical to before.
+    from adaptive_tpu.ops.quant_conv import conv_nhwc
+
+    return conv_nhwc(x, kernel, stride)
 
 
 def _bn_batch_moments(x: jnp.ndarray, shift: jnp.ndarray):

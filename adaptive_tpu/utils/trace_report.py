@@ -101,9 +101,14 @@ def stage_split(events: List[dict], iters: int = 1) -> Dict[str, float]:
         if not name or any(name.startswith(p) for p in _HOST_PREFIXES):
             continue
         long_name = e.get("args", {}).get("long_name", "")
+        # the op's OUTPUT shape is the first [...] group ("%x = TYPE[shape]...");
+        # matching the full long_name would misfile e.g. a 3x3 conv whose
+        # s8[3,3,256,256] WEIGHT operand looks like a raw 256x256 frame
+        lb = long_name.find("[")
+        out_shape = long_name[lb : long_name.find("]", lb) + 1] if lb >= 0 else ""
         if any(name.startswith(p) for p in _DECODE_OPS):
             key = "decode_ms"
-        elif ",3]" in long_name or "256,256" in long_name or "224,224,3" in long_name:
+        elif out_shape.endswith(",3]") or "256,256" in out_shape:
             key = "preprocess_ms"
         else:
             key = "encoder_ms"

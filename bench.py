@@ -95,6 +95,11 @@ def _make_decode_step(args):
 def _make_train_step(args):
     import jax
 
+    if getattr(args, "conv_bwd_quant", "none") != "none":
+        from adaptive_tpu.ops.quant_conv import set_conv_bwd_quant
+
+        set_conv_bwd_quant(args.conv_bwd_quant)  # trace-time switch
+
     from adaptive_tpu.config import load_config
     from adaptive_tpu.models.factory import build_model
     from adaptive_tpu.training.optim import make_dual_optimizer
@@ -216,6 +221,9 @@ def main():
     p.add_argument("--seq-len", type=int, default=24, help="train mode caption bucket")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="train mode: microbatches per step (exact full-batch grad)")
+    p.add_argument("--conv-bwd-quant", default="none", choices=["none", "manual", "int8"],
+                   help="train mode EXPERIMENT: quantize the stride-1 conv backward "
+                        "contractions (ops/quant_conv.py); quality-unvalidated")
     p.add_argument("--host-input", action="store_true",
                    help="stream uint8 batches from host RAM via device_prefetch")
     p.add_argument("--prefetch", type=int, default=2, help="device_prefetch depth")
