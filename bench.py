@@ -209,7 +209,7 @@ def _bench_host_input(step, host_batches, prefetch):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="decode", choices=["decode", "train"])
-    p.add_argument("--batch", type=int, default=0, help="default: 512 decode / 256 train")
+    p.add_argument("--batch", type=int, default=0, help="default: 1024 decode / 256 train")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--backbone", default="resnet152")
     p.add_argument("--dtype", default="bfloat16")
@@ -237,7 +237,9 @@ def main():
 
         args.profile_dir = tempfile.mkdtemp(prefix="bench_trace_")
     if not args.batch:
-        args.batch = 512 if args.mode == "decode" else 256
+        # decode 1024: amortizes the per-step fixed costs of the 30-token scan
+        # (8,482 vs 7,982 captions/s at 512 on v5e, VALIDATION.md round 3)
+        args.batch = 1024 if args.mode == "decode" else 256
 
     from adaptive_tpu.utils.profiling import profile_trace
 
