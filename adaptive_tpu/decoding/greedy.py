@@ -52,15 +52,15 @@ def make_greedy_decoder(model, cf):
         params = model.decoder_inference_params(params)
         B = V.shape[0]
         pv = model.precompute_slots(params, V)  # hoisted out of the scan
+        head = model.prepare_greedy_head(params)  # padded vocab head, hoisted
         dstate = model.init_decode_state(h0, c0)
         tok0 = jnp.full((B,), start, jnp.int32)
 
         def step(carry, _):
             tok, dstate, finished = carry
-            logits, alpha, beta, dstate = model.decode_step(
-                params, tok, v_g, dstate, V, sentinel_prev, pv=pv
+            nxt, alpha, beta, dstate = model.greedy_decode_step(
+                params, tok, v_g, dstate, V, sentinel_prev, pv=pv, head=head
             )
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             nxt = jnp.where(finished, eos, nxt)
             finished = finished | (nxt == eos)
             return (nxt, dstate, finished), (nxt, alpha, beta[:, 0])

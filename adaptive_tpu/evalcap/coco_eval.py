@@ -80,7 +80,15 @@ def decode_split(
     seen = set()
     for i, batch in enumerate(batches):
         out = decoder(params, state, shard_images(batch["images"]))
-        ids = np.asarray(out.ids if hasattr(out, "ids") else out[0])
+        ids = out.ids if hasattr(out, "ids") else out[0]
+        if isinstance(ids, _jax.Array) and not ids.is_fully_addressable:
+            # multi-process mesh: the decoded ids are a global sharded array;
+            # gather so every process scores the full split (they all need
+            # the same CIDEr for plateau/early-stop decisions)
+            from jax.experimental import multihost_utils
+
+            ids = multihost_utils.process_allgather(ids, tiled=True)
+        ids = np.asarray(ids)
         for row in range(ids.shape[0]):
             if not batch["valid"][row]:
                 continue
@@ -123,6 +131,19 @@ def coco_eval(
         ann_path = cf.test_anno_path
     elif train_mode:
         ann_path = cf.train_eval_anno_path
+
+    if cf.encoder_quant == "int8" and getattr(model, "int8_scales", None) is None:
+        # static PTQ calibration on the split's first images — the same
+        # contract as serving/bench (models/infer.py::calibrate_model); the
+        # dynamic fallback is both slower and quantizes differently, so eval
+        # must never silently score a different int8 path than production.
+        from adaptive_tpu.data.loader import EvalImageDataset
+        from adaptive_tpu.models.infer import calibrate_model
+
+        ds = EvalImageDataset(cf.resized_image_dir, ann_path)
+        calib = np.stack([ds[i][0] for i in range(min(32, len(ds)))])
+        model = calibrate_model(model, cf, params, state, calib)
+        print(f"int8: calibrated static scales on {calib.shape[0]} split images")
 
     banner = "evaluation on MS-COCO dataset"
     if test_mode:

@@ -203,20 +203,10 @@ def decode_step(
     x = jnp.concatenate([emb, v_g], axis=-1)  # [B,2E]
 
     if use_pallas and spec.variant == "adaptive_attention":
-        # fully fused decode cell: LSTM recurrence + sentinel + attention in
-        # one kernel (SURVEY §7 step 6); only the input projection and the
-        # vocab head stay in XLA as full-batch MXU matmuls
-        from adaptive_tpu.ops.pallas import adaptive_decode_cell_fused
-
-        block = params["adaptive"]
-        hp = state.h_prev if sentinel_uses_prev_hidden else jnp.zeros_like(state.h)
-        if pv is None:
-            pv = V @ block["atten"]["affine_v"]["kernel"]
-        h_new, c_new, c_hat, alpha1, beta1 = adaptive_decode_cell_fused(
-            params["lstm"], block["atten"], block["sentinel"], x,
-            state.h, state.c, hp, V, pv,
+        h_new, c_new, c_hat, alpha1, beta1 = _fused_cell(
+            params, x, state, sentinel_uses_prev_hidden, V, pv
         )
-        logits = mask_padded_vocab(spec, _inits.linear(block["mlp"], c_hat + h_new))
+        logits = mask_padded_vocab(spec, _inits.linear(params["adaptive"]["mlp"], c_hat + h_new))
         return logits, alpha1, beta1, DecodeState(h_new, c_new, h_new)
 
     h_new, (h, c) = lstm_cell(params["lstm"], x, (state.h, state.c))
@@ -230,3 +220,62 @@ def decode_step(
         beta = jnp.zeros((token.shape[0], 1, 1), scores.dtype)
     scores = mask_padded_vocab(spec, scores)
     return scores[:, 0, :], alpha[:, 0, :], beta[:, 0, :], DecodeState(h, c, h_new)
+
+
+def _fused_cell(params, x, state, sentinel_uses_prev_hidden, V, pv):
+    """Fully fused decode cell: LSTM recurrence + sentinel + attention in one
+    Pallas kernel (SURVEY §7 step 6); the input projection stays an XLA
+    full-batch MXU matmul."""
+    from adaptive_tpu.ops.pallas import adaptive_decode_cell_fused
+
+    block = params["adaptive"]
+    hp = state.h_prev if sentinel_uses_prev_hidden else jnp.zeros_like(state.h)
+    if pv is None:
+        pv = V @ block["atten"]["affine_v"]["kernel"]
+    return adaptive_decode_cell_fused(
+        params["lstm"], block["atten"], block["sentinel"], x,
+        state.h, state.c, hp, V, pv,
+    )
+
+
+def prepare_greedy_head(params: Dict, spec: DecoderSpec):
+    """Zero-padded vocab head (kernel [H,Vp'], bias [Vp']) for the fused
+    greedy head+argmax kernel — hoist ONCE per decode, outside the scan
+    (padding inside the scan would copy the 10.5 MB head every step)."""
+    w = params["adaptive"]["mlp"]["kernel"]
+    b = params["adaptive"]["mlp"]["bias"]
+    vp = w.shape[1]
+    target = -(-vp // 128) * 128
+    if target > 1280:
+        target = -(-target // 1280) * 1280  # chunk width the kernel uses
+    return jnp.pad(w, ((0, 0), (0, target - vp))), jnp.pad(b, (0, target - vp))
+
+
+def greedy_decode_step(
+    params: Dict, spec: DecoderSpec, token: jnp.ndarray, v_g: jnp.ndarray,
+    state: DecodeState, V: jnp.ndarray, sentinel_uses_prev_hidden: bool = False,
+    pv: Optional[jnp.ndarray] = None, head=None, use_pallas: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, DecodeState]:
+    """One GREEDY step: token [B] -> (next_token [B] i32, alpha, beta, state').
+
+    With use_pallas + the adaptive variant, the vocab head matmul and the
+    argmax run inside one Pallas kernel against the hoisted `head`
+    (prepare_greedy_head) — the [B, ~10k] logits never touch HBM. Otherwise
+    identical to argmax over decode_step's logits.
+    """
+    if use_pallas and spec.variant == "adaptive_attention" and head is not None:
+        from adaptive_tpu.ops.pallas.fused_step import greedy_head_argmax
+
+        emb = params["embed"][token]
+        x = jnp.concatenate([emb, v_g], axis=-1)
+        h_new, c_new, c_hat, alpha1, beta1 = _fused_cell(
+            params, x, state, sentinel_uses_prev_hidden, V, pv
+        )
+        nxt = greedy_head_argmax(head[0], head[1], c_hat, h_new, spec.vocab_size)
+        return nxt, alpha1, beta1, DecodeState(h_new, c_new, h_new)
+
+    logits, alpha, beta, st = decode_step(
+        params, spec, token, v_g, state, V, sentinel_uses_prev_hidden,
+        pv=pv, use_pallas=use_pallas,
+    )
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), alpha, beta, st

@@ -100,6 +100,22 @@ class CaptionModel(NamedTuple):
             sentinel_uses_prev_hidden, pv=pv, use_pallas=self.use_pallas,
         )
 
+    def greedy_decode_step(self, params, token, v_g, dstate, V,
+                           sentinel_uses_prev_hidden=False, pv=None, head=None):
+        """Greedy variant returning next-token ids directly; with Pallas +
+        adaptive, the vocab head + argmax fuse (no logits in HBM)."""
+        return D.greedy_decode_step(
+            params["decoder"], self.spec, token, v_g, dstate, V,
+            sentinel_uses_prev_hidden, pv=pv, head=head, use_pallas=self.use_pallas,
+        )
+
+    def prepare_greedy_head(self, params):
+        """Hoisted padded vocab head for greedy_decode_step (None when the
+        fused path is off — the fallback reads the mlp params directly)."""
+        if not (self.use_pallas and self.spec.variant == "adaptive_attention"):
+            return None
+        return D.prepare_greedy_head(params["decoder"], self.spec)
+
     def precompute_slots(self, params, V):
         """V @ Wv once per image — loop-invariant across decode steps (the
         reference recomputes it every token, baseline_attention.py:86)."""

@@ -208,6 +208,17 @@ def _requant(y_f32, scale):
     return jnp.clip(jnp.round(y_f32 / scale), -127, 127).astype(jnp.int8)
 
 
+# MEASURED NEGATIVE (round 3, VALIDATION.md): zero-point-128 asymmetric
+# quantization of the post-relu carry tensors (full 8-bit range instead of
+# symmetric's 7 effective bits) improved the trained-model CIDEr delta only
+# -0.077 -> -0.062, and every formulation of the zero-point correction
+# (constant, explicit -128 pad, batch-1 ones-conv map) broke XLA's
+# conv+epilogue fusion — the accumulator spilled to HBM as s32 and
+# throughput fell 8,504 -> ~5,930 captions/s. Symmetric carry is the shipped
+# path; the quality spread is noise-level on the gate while the perf cost is
+# 43%.
+
+
 def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict) -> jnp.ndarray:
     """int8-activation-carry forward: inter-block tensors stay s8+scale.
 
@@ -261,7 +272,7 @@ def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict) ->
             f"layer{block_list[idx+1][0]+1}.{block_list[idx+1][1]}.conv1"
         ]
 
-        def mid(name, z_s8, z_scale, cp, strd):  # conv + rescale + bias + relu + requant
+        def mid(name, z_s8, z_scale, cp, strd):  # conv + rescale + bias + relu
             acc, csc = _acc_i8(z_s8, cp["kernel"], z_scale, strd)
             z = jax.nn.relu(acc.astype(jnp.float32) * csc[None, None, None, :] + cp["bias"])
             return z
@@ -287,7 +298,7 @@ def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict) ->
                 # keep the shortcut branch s8 too: otherwise the tail epilogue
                 # reads two raw s32 accumulator streams and XLA spills one to
                 # HBM at 4 bytes/elem (measured ~10 ms across the 4 downsample
-                # blocks). The extra quantization is covered by the gates.
+                # blocks). Symmetric here: the pre-relu shortcut is signed.
                 shortcut = _requant(shortcut, s_sc).astype(jnp.float32) * s_sc
         else:
             shortcut = y_s8.astype(jnp.float32) * s_in  # s8 dequant: 1 byte/elem read

@@ -244,6 +244,72 @@ def adaptive_decode_cell_fused(
     return h_new[:B], c_new[:B], chat[:B], alpha[:B, :K], beta[:B]
 
 
+def _head_argmax_kernel(vocab_len: int, VC: int, chat_ref, h_ref, w_ref, b_ref, out_ref):
+    """Vocab head + greedy argmax without materializing logits in HBM.
+
+    The [B, ~10k] logits tensor (10.5 MB/step at batch 512) normally rides
+    HBM twice per decode step (matmul write + argmax read). Here the head
+    matmul runs in VC-wide chunks against the VMEM-resident weight block and
+    only the winning token index leaves the kernel. First-max tie semantics
+    match jnp.argmax.
+    """
+    f32 = jnp.float32
+    z = (chat_ref[:] + h_ref[:]).astype(w_ref.dtype)  # bf16 add, like the jnp path
+    Vp = w_ref.shape[1]
+    rows = z.shape[0]
+    best = jnp.full((rows, 1), NEG, f32)
+    arg = jnp.zeros((rows, 1), jnp.int32)
+    for j in range(Vp // VC):
+        w_c = w_ref[:, j * VC:(j + 1) * VC]
+        lg = jnp.dot(z, w_c, preferred_element_type=f32)
+        lg = lg + b_ref[0, j * VC:(j + 1) * VC].astype(f32)[None, :]
+        idx = jax.lax.broadcasted_iota(jnp.int32, lg.shape, 1) + j * VC
+        lg = jnp.where(idx < vocab_len, lg, NEG)  # mask_padded_vocab parity
+        cmax = jnp.max(lg, axis=1, keepdims=True)
+        cidx = jnp.min(jnp.where(lg == cmax, idx, Vp), axis=1, keepdims=True)
+        take = cmax > best  # strict: earlier chunk keeps first-max ties
+        best = jnp.where(take, cmax, best)
+        arg = jnp.where(take, cidx, arg)
+    out_ref[:] = arg
+
+
+def greedy_head_argmax(
+    head_kernel: jnp.ndarray, head_bias: jnp.ndarray, chat: jnp.ndarray,
+    h: jnp.ndarray, vocab_len: int, interpret: bool = False,
+) -> jnp.ndarray:
+    """argmax((chat+h) @ W + b) over the real vocab, fused. Returns [B] int32.
+
+    head_kernel [H, Vp]/head_bias [Vp] should be hoisted + padded ONCE per
+    decode (prepare_greedy_head in models/decoders.py) — not per step.
+    """
+    B, H = chat.shape
+    Vp = head_kernel.shape[1]
+    VC = min(1280, Vp)
+    assert Vp % VC == 0, (Vp, VC)
+    BP = _round_up(B, 8)
+    Bb = min(256, BP)
+    BP = _round_up(BP, Bb)
+    padB = lambda a: jnp.pad(a, ((0, BP - B), (0, 0)))
+
+    grid = (BP // Bb,)
+    row = lambda i: (i, 0)
+    rep = lambda i: (0, 0)
+    out = pl.pallas_call(
+        functools.partial(_head_argmax_kernel, vocab_len, VC),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Bb, H), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, H), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, Vp), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp), rep, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Bb, 1), row, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BP, 1), jnp.int32),
+        interpret=interpret,
+    )(padB(chat), padB(h), head_kernel, head_bias[None, :])
+    return out[:B, 0]
+
+
 def adaptive_attention_step_fused(
     atten: dict, sentinel: dict, x: jnp.ndarray, h: jnp.ndarray,
     cell: jnp.ndarray, h_prev: jnp.ndarray, V: jnp.ndarray,

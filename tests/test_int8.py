@@ -119,3 +119,24 @@ def test_config_validates_quant():
 
     with pytest.raises(ValueError):
         load_config(None, encoder_quant="fp4")
+
+
+def test_int8_carry_close_to_fp(tiny_cf):
+    """The static-scale carry path must track the exact folded forward within
+    quantization noise END TO END. Regression for the zero-point padding bug:
+    XLA zero-pads convs, but in zp-128 space zero means +128*s, which
+    corrupted every 3x3 border position (carry error went 2% -> 230%) while
+    the weaker static-vs-dynamic bound stayed green."""
+    from adaptive_tpu.models.infer import (
+        calibrate_int8, fold_resnet, resnet_apply_folded, resnet_apply_folded_int8,
+    )
+
+    params, state = R.init_resnet(jax.random.PRNGKey(5), "resnet18")
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    scales = calibrate_int8({"resnet": params}, {"resnet": state}, x, "resnet18")
+    folded = fold_resnet(params, state, "resnet18")
+    fp = np.asarray(resnet_apply_folded(folded, x, "resnet18"))
+    i8 = np.asarray(resnet_apply_folded_int8(folded, x, "resnet18", scales))
+    rel = np.abs(i8 - fp).mean() / (np.abs(fp).mean() + 1e-9)
+    assert rel < 0.08, rel

@@ -140,3 +140,100 @@ def test_process_sharded_loader_rejects_indivisible():
 
     with pytest.raises(ValueError, match="divisible"):
         TrainBatches(dataset=None, batch_size=9, process_index=0, process_count=2)
+
+
+EVAL_WORKER = r"""
+import os, sys
+sys.path.insert(0, os.environ["REPO"])
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=os.environ["COORD"],
+    num_processes=2,
+    process_id=int(os.environ["PID_IDX"]),
+)
+import json
+import numpy as np
+from adaptive_tpu.config import Config
+from adaptive_tpu.data.vocab import Vocabulary
+from adaptive_tpu.evalcap.coco_eval import decode_split
+from adaptive_tpu.models.factory import build_model
+
+ws = os.environ["WS"]
+vocab = Vocabulary.load(os.path.join(ws, "vocab.json"))
+cf = Config(
+    atten_model_name="adaptive_attention", encoder_backbone="resnet18",
+    train_crop_size=64, resized_image_size=48, vocab_length=len(vocab),
+    adaptive_word_embed_size=8, adaptive_lstm_hidden_size=16,
+    base_word_embed_size=8, base_lstm_hidden_size=16,
+    eval_batch_size=8, decode_max_len=5,
+    resized_image_dir=os.environ["ROOT"], mesh_shape=(-1, 1),
+)
+model = build_model(cf)
+params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+results = decode_split(cf, model, params, state, os.environ["ANN"], vocab)
+out = sorted((r["image_id"], r["caption"]) for r in results)
+with open(os.path.join(ws, f"eval_{jax.process_index()}.json"), "w") as f:
+    json.dump(out, f)
+"""
+
+
+def test_two_process_eval_decode_matches_single(tmp_path):
+    """decode_split on a 2-process mesh: sharded eval batches + gathered ids
+    must reproduce the single-process results on every process (the
+    in-training eval path multi-host claim)."""
+    sys.path.insert(0, REPO)
+    from adaptive_tpu.data.synthetic import make_synthetic_dataset
+    from adaptive_tpu.data.coco_api import COCO
+    from adaptive_tpu.data.vocab import Vocabulary, build_vocab
+
+    ws = str(tmp_path)
+    ann, resized = make_synthetic_dataset(ws, num_images=12, image_size=48, seed=9)
+    v = build_vocab((a["caption"] for a in COCO(ann).anns.values()), threshold=1)
+    v.save(os.path.join(ws, "vocab.json"))
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker_py = os.path.join(ws, "eval_worker.py")
+    with open(worker_py, "w") as f:
+        f.write(EVAL_WORKER)
+    env = {
+        **os.environ, "REPO": REPO, "WS": ws, "ANN": ann, "ROOT": resized,
+        "COORD": f"localhost:{port}", "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+    }
+    procs = [
+        subprocess.Popen([sys.executable, worker_py], env={**env, "PID_IDX": str(i)},
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+
+    got = [json.load(open(os.path.join(ws, f"eval_{i}.json"))) for i in range(2)]
+    assert got[0] == got[1]  # both processes scored the full split identically
+    assert len(got[0]) == 12
+
+    # single-process reference on the same weights/config
+    from adaptive_tpu.config import Config
+    from adaptive_tpu.data.vocab import Vocabulary
+    from adaptive_tpu.evalcap.coco_eval import decode_split
+    from adaptive_tpu.models.factory import build_model
+    import jax
+
+    cf = Config(
+        atten_model_name="adaptive_attention", encoder_backbone="resnet18",
+        train_crop_size=64, resized_image_size=48, vocab_length=len(v),
+        adaptive_word_embed_size=8, adaptive_lstm_hidden_size=16,
+        base_word_embed_size=8, base_lstm_hidden_size=16,
+        eval_batch_size=8, decode_max_len=5,
+        resized_image_dir=resized, mesh_shape=(-1, 1),
+    )
+    model = build_model(cf)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    vocab = Vocabulary.load(os.path.join(ws, "vocab.json"))
+    ref = sorted((r["image_id"], r["caption"]) for r in decode_split(cf, model, params, state, ann, vocab))
+    assert [list(t) for t in ref] == got[0]

@@ -131,3 +131,56 @@ def test_fused_decode_cell_in_decode_step(tiny_cf):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, err_msg=name)
     for name, a, b in zip(("h", "c", "h_prev"), got[3], ref[3]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("B,H,vocab", [(4, 16, 37), (5, 32, 1500)])
+def test_greedy_head_argmax_matches_jnp(B, H, vocab):
+    """Fused head+argmax == argmax((chat+h) @ W + b) over the real vocab
+    (padding columns never win)."""
+    from adaptive_tpu.ops.pallas.fused_step import greedy_head_argmax
+
+    rng = np.random.default_rng(5)
+    f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    w, b = f(H, vocab), f(vocab)
+    chat, h = f(B, H), f(B, H)
+    want = np.asarray(jnp.argmax((chat + h) @ w + b, axis=-1))
+
+    target = -(-vocab // 128) * 128
+    if target > 1280:
+        target = -(-target // 1280) * 1280
+    wp = jnp.pad(w, ((0, 0), (0, target - vocab)))
+    bp = jnp.pad(b, (0, target - vocab))
+    got = np.asarray(greedy_head_argmax(wp, bp, chat, h, vocab, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_greedy_decode_step_fused_matches_plain(tiny_cf):
+    """model.greedy_decode_step with the fused head must pick the same tokens
+    as the plain logits+argmax path (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adaptive_tpu.models.factory import build_model
+
+    cf = tiny_cf.replace(atten_model_name="adaptive_attention")
+    plain = build_model(cf.replace(use_pallas="never"))
+    fused = build_model(cf.replace(use_pallas="always"))
+    params, state = plain.init(jax.random.PRNGKey(1))
+
+    rng = np.random.default_rng(7)
+    H = cf.adaptive_lstm_hidden_size
+    K = (cf.train_crop_size // 32) ** 2
+    B = 4
+    V = jnp.asarray(rng.normal(size=(B, K, H)), jnp.float32)
+    v_g = jnp.asarray(rng.normal(size=(B, cf.adaptive_word_embed_size)), jnp.float32)
+    dstate = plain.init_decode_state(
+        jnp.zeros((B, H), jnp.float32), jnp.zeros((B, H), jnp.float32)
+    )
+    tok = jnp.array([1, 2, 3, 1], jnp.int32)
+
+    ref = plain.greedy_decode_step(params, tok, v_g, dstate, V, head=None)
+    with pltpu.force_tpu_interpret_mode():
+        head = fused.prepare_greedy_head(params)
+        assert head is not None
+        got = fused.greedy_decode_step(params, tok, v_g, dstate, V, head=head)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=2e-4)
