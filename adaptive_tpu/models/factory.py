@@ -37,6 +37,11 @@ class CaptionModel(NamedTuple):
     # baked into the jit). None -> dynamic per-batch scales. Produce with
     # models.infer.calibrate_int8 and attach via model._replace(int8_scales=...).
     int8_scales: Any = None
+    # Layers whose identity bottleneck blocks run the fused Pallas block
+    # kernel on the int8 carry path (ops/pallas/fused_block.py). "auto" picks
+    # the measured-win set when use_pallas is on; tuple of layer names to
+    # override; () disables.
+    int8_fused_layers: Any = "auto"
 
     # ------------------------------------------------------------------ init
     def init(self, key) -> Tuple[Dict, Dict]:
@@ -67,9 +72,16 @@ class CaptionModel(NamedTuple):
         int8-quantized convs (encoder_quant='int8')."""
         from adaptive_tpu.models.infer import encoder_apply_inference
 
+        fused = self.int8_fused_layers
+        if fused == "auto":
+            # No measured-win set yet: the roll-based tap generation costs
+            # more than the fusion saves on every layer (VALIDATION.md round
+            # 3 fused-block table), so auto stays empty until a layer wins.
+            fused = ()
         return encoder_apply_inference(
             params["encoder"], state, images, self.arch, self.compute_dtype,
             quant=self.encoder_quant, scales=self.int8_scales,
+            fused_layers=fused,
         )
 
     def decoder_inference_params(self, params):

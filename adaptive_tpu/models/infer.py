@@ -167,7 +167,8 @@ def _conv_i8(x, p, stride=1, out_dtype=jnp.bfloat16, x_scale=None, pad=None):
 
 
 def resnet_apply_folded_int8(
-    folded: Dict, x: jnp.ndarray, arch: str, scales: Optional[Dict] = None
+    folded: Dict, x: jnp.ndarray, arch: str, scales: Optional[Dict] = None,
+    fused_layers=(), interpret: bool = False,
 ) -> jnp.ndarray:
     """BN-folded int8-conv inference forward.
 
@@ -178,9 +179,11 @@ def resnet_apply_folded_int8(
 
     With static scales the fast int8-residual-carry traversal runs (see
     module comment); dynamic falls back to the per-conv quantize path.
+    fused_layers routes those layers' identity blocks through the fused
+    Pallas block kernel (bit-identical, ops/pallas/fused_block.py).
     """
     if scales is not None:
-        return _resnet_int8_carry(folded, x, arch, scales)
+        return _resnet_int8_carry(folded, x, arch, scales, fused_layers, interpret)
     dt = x.dtype
 
     def conv(name, xx, p, stride, pad):
@@ -219,14 +222,56 @@ def _requant(y_f32, scale):
 # 43%.
 
 
-def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict) -> jnp.ndarray:
+def _fused_identity_block(p: Dict, y_s8: jnp.ndarray, s_in: float, s2: float,
+                          s3: float, s_out: float, interpret: bool = False) -> jnp.ndarray:
+    """One identity bottleneck block through the fused Pallas kernel
+    (ops/pallas/fused_block.py): same math as the XLA carry segment (up to
+    +/-1-quantum requant rounding ties) with all intermediates
+    VMEM-resident. Caller guarantees stride 1, no downsample, and a
+    next-block scale (not the final block)."""
+    from adaptive_tpu.ops.pallas import fused_block as FB
+
+    B, H, W, C = y_s8.shape
+    M = p["conv1"]["kernel"].shape[-1]
+    w1q, sw1 = _quant_w(p["conv1"]["kernel"].astype(jnp.float32))
+    w2q, sw2 = _quant_w(p["conv2"]["kernel"].astype(jnp.float32))
+    w3q, sw3 = _quant_w(p["conv3"]["kernel"].astype(jnp.float32))
+    out = FB.bottleneck_identity_int8(
+        y_s8.reshape(B, H * W, C), W,
+        w1q.reshape(C, M), w2q.reshape(9, M, M), w3q.reshape(M, C),
+        (s_in * sw1)[None, :], p["conv1"]["bias"].astype(jnp.float32)[None, :],
+        (s2 * sw2)[None, :], p["conv2"]["bias"].astype(jnp.float32)[None, :],
+        (s3 * sw3)[None, :], p["conv3"]["bias"].astype(jnp.float32)[None, :],
+        s2, s3, s_in, s_out, interpret=interpret,
+    )
+    return out.reshape(B, H, W, C)
+
+
+def _block_fusable(p: Dict, y_s8: jnp.ndarray, stride: int, last: bool,
+                   fused_layers, layer_name: str) -> bool:
+    from adaptive_tpu.ops.pallas import fused_block as FB
+
+    if layer_name not in (fused_layers or ()):
+        return False
+    if stride != 1 or last or "downsample" in p or "conv3" not in p:
+        return False
+    B, H, W, _ = y_s8.shape
+    return H == W and FB.pick_group(B, H * W) > 0
+
+
+def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict,
+                       fused_layers=(), interpret: bool = False) -> jnp.ndarray:
     """int8-activation-carry forward: inter-block tensors stay s8+scale.
 
     Same traversal order/naming as _folded_forward (so calibrate_int8's scale
     names match), but the block residual is dequantized from s8 inside the
     conv3 epilogue instead of riding HBM as bf16. The extra quantization the
     residual suffers is covered by the int8 quality gates
-    (tests/test_pipeline.py, tests/test_int8.py)."""
+    (tests/test_pipeline.py, tests/test_int8.py).
+
+    fused_layers: layer names ('layer1', ...) whose identity bottleneck
+    blocks run through the fused Pallas block kernel (same math, VMEM-
+    resident intermediates — see ops/pallas/fused_block.py)."""
     dt = x.dtype
     block_type, stages = R.RESNET_SPECS[arch]
     need = ["conv1"]
@@ -271,6 +316,14 @@ def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict) ->
         s_out = None if last else scales[
             f"layer{block_list[idx+1][0]+1}.{block_list[idx+1][1]}.conv1"
         ]
+
+        if _block_fusable(p, y_s8, stride, last, fused_layers, f"layer{li+1}"):
+            y_s8 = _fused_identity_block(
+                p, y_s8, s_in, scales[f"{nm}.conv2"], scales[f"{nm}.conv3"],
+                s_out, interpret=interpret,
+            )
+            s_in = s_out
+            continue
 
         def mid(name, z_s8, z_scale, cp, strd):  # conv + rescale + bias + relu
             acc, csc = _acc_i8(z_s8, cp["kernel"], z_scale, strd)
@@ -356,11 +409,12 @@ def calibrate_int8(enc_params: Dict, state: Dict, images, arch: str) -> Dict[str
 
 def encoder_apply_inference(
     enc_params: Dict, state: Dict, images: jnp.ndarray, arch: str, dtype,
-    quant: str = "none", scales: Optional[Dict] = None,
+    quant: str = "none", scales: Optional[Dict] = None, fused_layers=(),
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Folded, dtype-cast encoder forward: images (preprocessed float NHWC) ->
     (V, v_g, h0, c0). Matches encoder_apply(train=False); quant='int8' uses
-    int8 convs (static scales if calibrated, else dynamic)."""
+    int8 convs (static scales if calibrated, else dynamic); fused_layers
+    selects layers for the fused Pallas block kernel (TPU only)."""
     from adaptive_tpu.ops import inits
 
     folded = fold_resnet(enc_params["resnet"], state["resnet"], arch)
@@ -368,7 +422,9 @@ def encoder_apply_inference(
         # keep folded kernels fp32: quantization from bf16-rounded weights
         # would diverge from the fp32-calibrated scales (and costs an extra
         # full-weight cast pass)
-        A = resnet_apply_folded_int8(folded, images.astype(dtype), arch, scales)
+        A = resnet_apply_folded_int8(
+            folded, images.astype(dtype), arch, scales, fused_layers
+        )
     else:
         A = resnet_apply_folded(cast_floating(folded, dtype), images.astype(dtype), arch)
     B, Hf, Wf, C = A.shape

@@ -68,6 +68,9 @@ def _make_decode_step(args):
         encoder_quant=args.quant,
     )
     model = build_model(cf)
+    if args.fused_blocks != "auto":
+        fb = () if args.fused_blocks == "none" else tuple(args.fused_blocks.split(","))
+        model = model._replace(int8_fused_layers=fb)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
 
     images = jax.device_put(
@@ -216,6 +219,8 @@ def main():
     p.add_argument("--beam", type=int, default=1)
     p.add_argument("--use-pallas", default="auto")
     p.add_argument("--quant", default="int8", help="encoder quantization: none|int8")
+    p.add_argument("--fused-blocks", default="auto",
+                   help="int8 fused Pallas block layers: auto|none|layer1,layer2,...")
     p.add_argument("--encoder-off", action="store_true",
                    help="train mode: bench the pre-fine-tune phase (no conv bwd)")
     p.add_argument("--seq-len", type=int, default=24, help="train mode caption bucket")

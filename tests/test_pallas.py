@@ -184,3 +184,84 @@ def test_greedy_decode_step_fused_matches_plain(tiny_cf):
         got = fused.greedy_decode_step(params, tok, v_g, dstate, V, head=head)
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=2e-4)
+
+
+# ---------------------------------------------------------------- fused block
+
+def _ref_identity_block(p, y_s8, s_in, s2, s3, s_out):
+    """The XLA int8-carry segment for one identity bottleneck block,
+    op-for-op (models/infer.py::_resnet_int8_carry body)."""
+    from adaptive_tpu.models import infer as I
+
+    acc, csc = I._acc_i8(y_s8, p["conv1"]["kernel"], s_in, 1)
+    z = jax.nn.relu(acc.astype(jnp.float32) * csc[None, None, None, :] + p["conv1"]["bias"])
+    acc, csc = I._acc_i8(I._requant(z, s2), p["conv2"]["kernel"], s2, 1)
+    z = jax.nn.relu(acc.astype(jnp.float32) * csc[None, None, None, :] + p["conv2"]["bias"])
+    acc, csc = I._acc_i8(I._requant(z, s3), p["conv3"]["kernel"], s3)
+    tail = acc.astype(jnp.float32) * csc[None, None, None, :] + p["conv3"]["bias"]
+    out = jax.nn.relu(tail + y_s8.astype(jnp.float32) * s_in)
+    return I._requant(out, s_out)
+
+
+@pytest.mark.parametrize("B,W,C,M", [(2, 8, 16, 8), (4, 4, 24, 8), (8, 4, 64, 32)])
+def test_fused_block_bit_parity(B, W, C, M):
+    from adaptive_tpu.models import infer as I
+
+    rng = np.random.default_rng(0)
+    p = {
+        f"conv{i}": {
+            "kernel": jnp.asarray(rng.normal(0, 0.4, shp), jnp.float32),
+            "bias": jnp.asarray(rng.normal(0, 0.2, shp[-1]), jnp.float32),
+        }
+        for i, shp in ((1, (1, 1, C, M)), (2, (3, 3, M, M)), (3, (1, 1, M, C)))
+    }
+    y_s8 = jnp.asarray(rng.integers(-127, 128, (B, W, W, C)), jnp.int8)
+    s_in, s2, s3, s_out = 0.021, 0.034, 0.057, 0.026
+
+    want = np.asarray(_ref_identity_block(p, y_s8, s_in, s2, s3, s_out), np.int32)
+    got = np.asarray(I._fused_identity_block(p, y_s8, s_in, s2, s3, s_out,
+                                             interpret=True), np.int32)
+    # integer conv accumulation is exact; the f32 epilogues may differ by one
+    # ULP between the two lowerings (FMA contraction), flipping requant
+    # round-to-nearest ties by +/-1 quantum on rare elements (measured
+    # 1/131072 on real weights). Anything beyond that is a real bug.
+    d = np.abs(got - want)
+    assert d.max() <= 1, d.max()
+    assert (d != 0).mean() < 2e-3, (d != 0).mean()
+
+
+def test_fused_block_carry_integration():
+    """Full int8-carry forward with fused_layers on ~= off; layers whose
+    grouping can't align (pick_group=0) silently fall back. Tolerance covers
+    +/-1-quantum requant ties amplified through later blocks (the quality
+    gates in tests/test_int8.py bound the end-to-end effect)."""
+    from adaptive_tpu.models import encoder as E
+    from adaptive_tpu.models import infer as I
+
+    B, crop = 8, 64
+    params, state = E.init_encoder(jax.random.PRNGKey(0), 8, 16, "resnet50")
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.normal(0, 1, (B, crop, crop, 3)), jnp.float32)
+    folded = I.fold_resnet(params["resnet"], state["resnet"], "resnet50")
+    scales = I.calibrate_int8(params, state, imgs, "resnet50")
+
+    base = I.resnet_apply_folded_int8(folded, imgs, "resnet50", scales)
+    fused = I.resnet_apply_folded_int8(
+        folded, imgs, "resnet50", scales,
+        fused_layers=("layer1", "layer2", "layer3", "layer4"), interpret=True,
+    )
+    b, f = np.asarray(base, np.float64), np.asarray(fused, np.float64)
+    scale = np.abs(b).max()
+    assert np.abs(f - b).max() < 0.05 * scale
+    cos = (b * f).sum() / (np.linalg.norm(b) * np.linalg.norm(f))
+    assert cos > 0.9999, cos
+
+
+def test_fused_block_pick_group():
+    from adaptive_tpu.ops.pallas.fused_block import pick_group
+
+    assert pick_group(1024, 56 * 56) == 1      # layer1: already aligned
+    assert pick_group(1024, 28 * 28) == 2      # layer2: 2*784 = 49*32
+    assert pick_group(1024, 14 * 14) == 8      # layer3
+    assert pick_group(1024, 7 * 7) == 32       # layer4
+    assert pick_group(2, 4) == 0               # no aligned grouping fits B
