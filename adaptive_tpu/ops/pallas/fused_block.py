@@ -63,9 +63,15 @@ def pick_group(batch: int, spatial: int) -> int:
     return 0
 
 
+def _pad_rows(W: int) -> int:
+    """Scratch top/bottom padding: >= the largest tap offset (W+1), rounded
+    up to the s8 sublane tile so the center write stays aligned."""
+    return -(-(W + 1) // _SUBLANE_I8) * _SUBLANE_I8
+
+
 def _kernel(W: int, GS: int, x_ref, w1_ref, w2_ref, w3_ref,
             sc1_ref, b1_ref, sc2_ref, b2_ref, sc3_ref, b3_ref,
-            s_ref, out_ref):
+            s_ref, out_ref, pad_ref):
     f32 = jnp.float32
     s2, s3, s_in, s_out = (s_ref[0, i] for i in range(4))
     x = x_ref[:]  # [GS, C] s8
@@ -79,24 +85,37 @@ def _kernel(W: int, GS: int, x_ref, w1_ref, w2_ref, w3_ref,
 
     # conv2 3x3: nine shifted matmuls over the flattened spatial axis.
     # shifted[p] = z1[p + oy*W + ox]; masks zero taps that cross an image
-    # edge (identically: positions where the roll wrapped a row, an image,
+    # edge (identically: positions where the shift crossed a row, an image,
     # or the group block — SAME zero-padding in all three readings).
-    # The roll runs on the f32 pre-quantization tensor (Mosaic implements
-    # rotate for 32-bit data only) — requant is elementwise, so
-    # requant(roll(x)) == roll(requant(x)) exactly. (Hoisting the requant
-    # to a single integral-f32 pass + per-tap converts measured SLOWER:
-    # 6,824 vs 7,285 captions/s layer3-fused — Mosaic schedules the fused
-    # divide chain better than the split form.)
+    # Tap generation: z1 is requantized ONCE to s8 and written to a zero-
+    # padded VMEM scratch; each tap is then a statically-offset row slice of
+    # the scratch. The earlier per-tap f32 pltpu.roll formulation cost more
+    # VPU time than the whole fusion saved (7,285 vs 8,482 captions/s
+    # layer3-fused; a no-shift probe measured 8,727 — see VALIDATION.md).
+    PAD = _pad_rows(W)
+    M = w2_ref.shape[-1]
+    z1q = requant(z1f, s2)
+    pad_ref[pl.ds(0, PAD), :] = jnp.zeros((PAD, M), jnp.int8)
+    pad_ref[pl.ds(PAD + GS, PAD), :] = jnp.zeros((PAD, M), jnp.int8)
+    pad_ref[pl.ds(PAD, GS), :] = z1q
+
+    # Edge masks apply to the int32 DOT OUTPUT, not the s8 tap: a row's tap
+    # contribution touches only that output row, so zeroing dot(tap)[p] ==
+    # zeroing tap[p]. On the i32 accumulator the mask is a native 32-bit
+    # bitwise AND with a 0/-1 row vector — no pack/unpack (a jnp.where on
+    # the packed s8 tap cost ~25 ms/iter on layer3, the whole fusion win;
+    # s8 multiply doesn't legalize; s8 AND needs an i1->s8 relayout Mosaic
+    # rejects; bitcast-to-i32 AND pays two relayout shuffles per tap).
     idx = jax.lax.broadcasted_iota(jnp.int32, (GS, 1), 0)
     col = idx % W
     row = (idx // W) % W
-    M = w2_ref.shape[-1]
     acc2 = jnp.zeros((GS, M), jnp.int32)
     for k, (oy, ox) in enumerate(
         (oy, ox) for oy in (-1, 0, 1) for ox in (-1, 0, 1)
     ):
         o = oy * W + ox
-        tap = requant(z1f if o == 0 else pltpu.roll(z1f, (-o) % GS, 0), s2)
+        tap = z1q if o == 0 else pad_ref[pl.ds(PAD + o, GS), :]
+        d = jnp.dot(tap, w2_ref[k], preferred_element_type=jnp.int32)
         if oy or ox:
             valid = None
             if oy:
@@ -104,8 +123,8 @@ def _kernel(W: int, GS: int, x_ref, w1_ref, w2_ref, w3_ref,
             if ox:
                 vx = (col + ox >= 0) & (col + ox < W)
                 valid = valid & vx if valid is not None else vx
-            tap = jnp.where(valid, tap, jnp.int8(0))
-        acc2 = acc2 + jnp.dot(tap, w2_ref[k], preferred_element_type=jnp.int32)
+            d = d & jnp.where(valid, jnp.int32(-1), jnp.int32(0))
+        acc2 = acc2 + d
     z2 = requant(jax.nn.relu(acc2.astype(f32) * sc2_ref[:] + b2_ref[:]), s3)
 
     # conv3 1x1 + dequantized-s8 residual + relu + requant for the next block
@@ -159,6 +178,7 @@ def bottleneck_identity_int8(
         ],
         out_specs=pl.BlockSpec((GS, C), row, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * S, C), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((2 * _pad_rows(W) + GS, M), jnp.int8)],
         # layer1 geometry (GS=3136, C=256) needs ~20 MB of scoped VMEM for
         # the f32 epilogue intermediates — above the 16 MB default limit,
         # comfortably inside v5e's 128 MB.
