@@ -42,6 +42,9 @@ class CaptionModel(NamedTuple):
     # the measured-win set when use_pallas is on; tuple of layer names to
     # override; () disables.
     int8_fused_layers: Any = "auto"
+    # Layers whose identity-block tails fuse with the next block's conv1
+    # (ops/pallas/fused_tail.py) on the int8 carry path. Same auto contract.
+    int8_fused_tails: Any = "auto"
 
     # ------------------------------------------------------------------ init
     def init(self, key) -> Tuple[Dict, Dict]:
@@ -78,10 +81,16 @@ class CaptionModel(NamedTuple):
             # more than the fusion saves on every layer (VALIDATION.md round
             # 3 fused-block table), so auto stays empty until a layer wins.
             fused = ()
+        tails = self.int8_fused_tails
+        if tails == "auto":
+            # Measured net loss on every layer tried: the custom-call splits
+            # XLA's conv2+epilogue+conv3 mega-fusion (VALIDATION.md round-3
+            # fused-tail ladder), so auto stays empty.
+            tails = ()
         return encoder_apply_inference(
             params["encoder"], state, images, self.arch, self.compute_dtype,
             quant=self.encoder_quant, scales=self.int8_scales,
-            fused_layers=fused,
+            fused_layers=fused, fused_tails=tails,
         )
 
     def decoder_inference_params(self, params):

@@ -168,7 +168,7 @@ def _conv_i8(x, p, stride=1, out_dtype=jnp.bfloat16, x_scale=None, pad=None):
 
 def resnet_apply_folded_int8(
     folded: Dict, x: jnp.ndarray, arch: str, scales: Optional[Dict] = None,
-    fused_layers=(), interpret: bool = False,
+    fused_layers=(), fused_tails=(), interpret: bool = False,
 ) -> jnp.ndarray:
     """BN-folded int8-conv inference forward.
 
@@ -180,10 +180,20 @@ def resnet_apply_folded_int8(
     With static scales the fast int8-residual-carry traversal runs (see
     module comment); dynamic falls back to the per-conv quantize path.
     fused_layers routes those layers' identity blocks through the fused
-    Pallas block kernel (bit-identical, ops/pallas/fused_block.py).
+    Pallas block kernel (bit-identical, ops/pallas/fused_block.py);
+    fused_tails routes those layers' block BOUNDARIES through the fused
+    conv3+residual|next-conv1 kernel (ops/pallas/fused_tail.py). The two
+    target the same convs from different shapes — overlap is rejected.
     """
+    overlap = set(fused_tails or ()) & set(fused_layers or ())
+    if overlap:
+        raise ValueError(
+            f"layers {sorted(overlap)} appear in both fused_layers and "
+            "fused_tails; each layer may use at most one fusion scheme"
+        )
     if scales is not None:
-        return _resnet_int8_carry(folded, x, arch, scales, fused_layers, interpret)
+        return _resnet_int8_carry(folded, x, arch, scales, fused_layers,
+                                  fused_tails, interpret)
     dt = x.dtype
 
     def conv(name, xx, p, stride, pad):
@@ -259,8 +269,54 @@ def _block_fusable(p: Dict, y_s8: jnp.ndarray, stride: int, last: bool,
     return H == W and FB.pick_group(B, H * W) > 0
 
 
+def _tail_fusable(p: Dict, y_s8: jnp.ndarray, stride: int, last: bool,
+                  fused_tails, layer_name: str) -> bool:
+    """Boundary (i, i+1) is tail-fusable when block i is an identity
+    bottleneck (the kernel's residual is the plain x*s_in dequant) and the
+    flattened row count tiles the s8 sublane. Block i+1 needs no checks:
+    a bottleneck conv1 is always 1x1 stride-1 (the stride lives on conv2),
+    so its fused computation is valid even into a downsample block."""
+    if layer_name not in (fused_tails or ()):
+        return False
+    if stride != 1 or last or "downsample" in p or "conv3" not in p:
+        return False
+    B, H, W, _ = y_s8.shape
+    return (B * H * W) % 32 == 0
+
+
+def _fused_tail_pair(p: Dict, next_p: Dict, y_s8_in: jnp.ndarray,
+                     z2f: jnp.ndarray, s3: float, s_in: float, s_out: float,
+                     s_next: float, interpret: bool = False):
+    """Block-i tail (conv3 + s8-residual + relu + requant) fused with block-
+    (i+1) conv1 (+ relu + requant) in one Pallas kernel — the carry tensor
+    never round-trips HBM between them (ops/pallas/fused_tail.py). Same math
+    as the XLA segment up to +/-1-quantum requant rounding ties.
+
+    y_s8_in: block-i input carry [B,H,W,C]; z2f: block-i conv2 relu output
+    (f32). Returns (carry_s8 [B,H,W,C], z1_next_s8 [B,H,W,M2]) where
+    z1_next is block i+1's requantized conv1 activation (scale s_next)."""
+    from adaptive_tpu.ops.pallas import fused_tail as FT
+
+    B, H, W, C = y_s8_in.shape
+    M = z2f.shape[-1]
+    w3q, sw3 = _quant_w(p["conv3"]["kernel"].astype(jnp.float32))
+    w1q, sw1 = _quant_w(next_p["conv1"]["kernel"].astype(jnp.float32))
+    M2 = w1q.shape[-1]
+    N = B * H * W
+    out, z1 = FT.tail_conv1_int8(
+        y_s8_in.reshape(N, C), _requant(z2f, s3).reshape(N, M),
+        w3q.reshape(M, C), (s3 * sw3)[None, :],
+        p["conv3"]["bias"].astype(jnp.float32)[None, :],
+        w1q.reshape(C, M2), (s_out * sw1)[None, :],
+        next_p["conv1"]["bias"].astype(jnp.float32)[None, :],
+        s_in, s_out, s_next, interpret=interpret,
+    )
+    return out.reshape(B, H, W, C), z1.reshape(B, H, W, M2)
+
+
 def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict,
-                       fused_layers=(), interpret: bool = False) -> jnp.ndarray:
+                       fused_layers=(), fused_tails=(),
+                       interpret: bool = False) -> jnp.ndarray:
     """int8-activation-carry forward: inter-block tensors stay s8+scale.
 
     Same traversal order/naming as _folded_forward (so calibrate_int8's scale
@@ -271,7 +327,12 @@ def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict,
 
     fused_layers: layer names ('layer1', ...) whose identity bottleneck
     blocks run through the fused Pallas block kernel (same math, VMEM-
-    resident intermediates — see ops/pallas/fused_block.py)."""
+    resident intermediates — see ops/pallas/fused_block.py).
+
+    fused_tails: layer names whose identity-block TAILS fuse with the next
+    block's conv1 in one Pallas kernel (ops/pallas/fused_tail.py). The pair
+    hands the next block its requantized conv1 activation (z1_pending below),
+    so that block starts at conv2 — same math, one fewer HBM carry read."""
     dt = x.dtype
     block_type, stages = R.RESNET_SPECS[arch]
     need = ["conv1"]
@@ -308,6 +369,7 @@ def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict,
     block_list = [
         (li, bi) for li, n_blocks in enumerate(stages) for bi in range(n_blocks)
     ]
+    z1_pending = None  # next block's s8 conv1 activation from a fused tail
     for idx, (li, bi) in enumerate(block_list):
         p = folded[f"layer{li+1}"][bi]
         nm = f"layer{li+1}.{bi}"
@@ -317,7 +379,8 @@ def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict,
             f"layer{block_list[idx+1][0]+1}.{block_list[idx+1][1]}.conv1"
         ]
 
-        if _block_fusable(p, y_s8, stride, last, fused_layers, f"layer{li+1}"):
+        if z1_pending is None and _block_fusable(
+                p, y_s8, stride, last, fused_layers, f"layer{li+1}"):
             y_s8 = _fused_identity_block(
                 p, y_s8, s_in, scales[f"{nm}.conv2"], scales[f"{nm}.conv3"],
                 s_out, interpret=interpret,
@@ -331,10 +394,23 @@ def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict,
             return z
 
         if block_type == "bottleneck":
-            z = mid(f"{nm}.conv1", y_s8, s_in, p["conv1"], 1)
             s2 = scales[f"{nm}.conv2"]
-            z = mid(f"{nm}.conv2", _requant(z, s2), s2, p["conv2"], stride)
+            if z1_pending is not None:
+                z2_s8, z1_pending = z1_pending, None  # conv1 already done fused
+            else:
+                z = mid(f"{nm}.conv1", y_s8, s_in, p["conv1"], 1)
+                z2_s8 = _requant(z, s2)
+            z = mid(f"{nm}.conv2", z2_s8, s2, p["conv2"], stride)
             s3 = scales[f"{nm}.conv3"]
+            if _tail_fusable(p, y_s8, stride, last, fused_tails, f"layer{li+1}"):
+                nli, nbi = block_list[idx + 1]
+                next_p = folded[f"layer{nli+1}"][nbi]
+                s_next = scales[f"layer{nli+1}.{nbi}.conv2"]
+                y_s8, z1_pending = _fused_tail_pair(
+                    p, next_p, y_s8, z, s3, s_in, s_out, s_next, interpret
+                )
+                s_in = s_out
+                continue
             acc, csc = _acc_i8(_requant(z, s3), p["conv3"]["kernel"], s3)
             tail = acc.astype(jnp.float32) * csc[None, None, None, :] + p["conv3"]["bias"]
         else:
@@ -410,11 +486,12 @@ def calibrate_int8(enc_params: Dict, state: Dict, images, arch: str) -> Dict[str
 def encoder_apply_inference(
     enc_params: Dict, state: Dict, images: jnp.ndarray, arch: str, dtype,
     quant: str = "none", scales: Optional[Dict] = None, fused_layers=(),
+    fused_tails=(),
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Folded, dtype-cast encoder forward: images (preprocessed float NHWC) ->
     (V, v_g, h0, c0). Matches encoder_apply(train=False); quant='int8' uses
-    int8 convs (static scales if calibrated, else dynamic); fused_layers
-    selects layers for the fused Pallas block kernel (TPU only)."""
+    int8 convs (static scales if calibrated, else dynamic); fused_layers /
+    fused_tails select layers for the fused Pallas kernels (TPU only)."""
     from adaptive_tpu.ops import inits
 
     folded = fold_resnet(enc_params["resnet"], state["resnet"], arch)
@@ -423,7 +500,8 @@ def encoder_apply_inference(
         # would diverge from the fp32-calibrated scales (and costs an extra
         # full-weight cast pass)
         A = resnet_apply_folded_int8(
-            folded, images.astype(dtype), arch, scales, fused_layers
+            folded, images.astype(dtype), arch, scales, fused_layers,
+            fused_tails,
         )
     else:
         A = resnet_apply_folded(cast_floating(folded, dtype), images.astype(dtype), arch)

@@ -71,6 +71,9 @@ def _make_decode_step(args):
     if args.fused_blocks != "auto":
         fb = () if args.fused_blocks == "none" else tuple(args.fused_blocks.split(","))
         model = model._replace(int8_fused_layers=fb)
+    if args.fused_tails != "auto":
+        ft = () if args.fused_tails == "none" else tuple(args.fused_tails.split(","))
+        model = model._replace(int8_fused_tails=ft)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
 
     images = jax.device_put(
@@ -221,6 +224,8 @@ def main():
     p.add_argument("--quant", default="int8", help="encoder quantization: none|int8")
     p.add_argument("--fused-blocks", default="auto",
                    help="int8 fused Pallas block layers: auto|none|layer1,layer2,...")
+    p.add_argument("--fused-tails", default="auto",
+                   help="int8 fused tail+conv1 layers: auto|none|layer1,layer2,...")
     p.add_argument("--encoder-off", action="store_true",
                    help="train mode: bench the pre-fine-tune phase (no conv bwd)")
     p.add_argument("--seq-len", type=int, default=24, help="train mode caption bucket")

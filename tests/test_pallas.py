@@ -265,3 +265,84 @@ def test_fused_block_pick_group():
     assert pick_group(1024, 14 * 14) == 8      # layer3
     assert pick_group(1024, 7 * 7) == 32       # layer4
     assert pick_group(2, 4) == 0               # no aligned grouping fits B
+
+
+# ----------------------------------------------------------------- fused tail
+
+@pytest.mark.parametrize("B,W,C,M,M2", [(2, 4, 16, 8, 8), (4, 4, 32, 16, 24)])
+def test_fused_tail_bit_parity(B, W, C, M, M2):
+    """tail_conv1_int8 == the XLA carry segment it replaces, stage by stage.
+
+    Stage 1 (conv3+residual+requant carry) is compared against the XLA ops
+    directly (+/-1-quantum ties, as for the fused block). Stage 2 (next
+    conv1) is compared against XLA *fed the kernel's own carry* so a tie
+    flip in stage 1 doesn't amplify through the int accumulation and mask a
+    real stage-2 bug."""
+    from adaptive_tpu.models import infer as I
+
+    rng = np.random.default_rng(2)
+    p = {"conv3": {
+        "kernel": jnp.asarray(rng.normal(0, 0.4, (1, 1, M, C)), jnp.float32),
+        "bias": jnp.asarray(rng.normal(0, 0.2, C), jnp.float32),
+    }}
+    next_p = {"conv1": {
+        "kernel": jnp.asarray(rng.normal(0, 0.4, (1, 1, C, M2)), jnp.float32),
+        "bias": jnp.asarray(rng.normal(0, 0.2, M2), jnp.float32),
+    }}
+    y_s8 = jnp.asarray(rng.integers(-127, 128, (B, W, W, C)), jnp.int8)
+    z2f = jnp.asarray(np.abs(rng.normal(0, 1.5, (B, W, W, M))), jnp.float32)
+    s3, s_in, s_out, s_next = 0.031, 0.024, 0.027, 0.042
+
+    got_out, got_z1 = I._fused_tail_pair(
+        p, next_p, y_s8, z2f, s3, s_in, s_out, s_next, interpret=True)
+
+    acc, csc = I._acc_i8(I._requant(z2f, s3), p["conv3"]["kernel"], s3)
+    tail = acc.astype(jnp.float32) * csc[None, None, None, :] + p["conv3"]["bias"]
+    want_out = I._requant(jax.nn.relu(tail + y_s8.astype(jnp.float32) * s_in), s_out)
+    d = np.abs(np.asarray(got_out, np.int32) - np.asarray(want_out, np.int32))
+    assert d.max() <= 1, d.max()
+    assert (d != 0).mean() < 2e-3, (d != 0).mean()
+
+    acc, csc = I._acc_i8(got_out, next_p["conv1"]["kernel"], s_out, 1)
+    z1 = jax.nn.relu(acc.astype(jnp.float32) * csc[None, None, None, :]
+                     + next_p["conv1"]["bias"])
+    want_z1 = I._requant(z1, s_next)
+    d = np.abs(np.asarray(got_z1, np.int32) - np.asarray(want_z1, np.int32))
+    assert d.max() <= 1, d.max()
+    assert (d != 0).mean() < 2e-3, (d != 0).mean()
+
+
+def test_fused_tail_carry_integration():
+    """Full int8-carry forward with fused_tails on ~= off — exercises the
+    z1_pending hand-off across every eligible boundary, including the
+    cross-layer hand-off into a downsample block."""
+    from adaptive_tpu.models import encoder as E
+    from adaptive_tpu.models import infer as I
+
+    B, crop = 8, 64
+    params, state = E.init_encoder(jax.random.PRNGKey(0), 8, 16, "resnet50")
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.normal(0, 1, (B, crop, crop, 3)), jnp.float32)
+    folded = I.fold_resnet(params["resnet"], state["resnet"], "resnet50")
+    scales = I.calibrate_int8(params, state, imgs, "resnet50")
+
+    base = I.resnet_apply_folded_int8(folded, imgs, "resnet50", scales)
+    fused = I.resnet_apply_folded_int8(
+        folded, imgs, "resnet50", scales,
+        fused_tails=("layer1", "layer2", "layer3", "layer4"), interpret=True,
+    )
+    b, f = np.asarray(base, np.float64), np.asarray(fused, np.float64)
+    scale = np.abs(b).max()
+    assert np.abs(f - b).max() < 0.05 * scale
+    cos = (b * f).sum() / (np.linalg.norm(b) * np.linalg.norm(f))
+    assert cos > 0.9999, cos
+
+
+def test_fused_tail_overlap_rejected():
+    from adaptive_tpu.models import infer as I
+
+    with pytest.raises(ValueError, match="fused_tails"):
+        I.resnet_apply_folded_int8(
+            {}, jnp.zeros((1, 8, 8, 3)), "resnet50", {"conv1": 1.0},
+            fused_layers=("layer2",), fused_tails=("layer2", "layer3"),
+        )
