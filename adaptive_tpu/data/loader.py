@@ -190,6 +190,16 @@ class TrainBatches:
         for s in range(0, len(leftovers), self.batch_size):
             chunk = leftovers[s : s + self.batch_size]
             if len(chunk) == self.batch_size or not self.drop_last:
+                if self.process_sharded and len(chunk) % self.process_count:
+                    # wrap-pad the short tail so every process takes an equal
+                    # slice (the standard distributed-sampler contract): no
+                    # sample is silently skipped; a few repeat within the
+                    # epoch. Without this, len//count floor-drops samples —
+                    # or np.stack([]) crashes when the tail is smaller than
+                    # the process count.
+                    need = -len(chunk) % self.process_count
+                    reps = 1 + (need + len(chunk) - 1) // len(chunk)
+                    chunk = (chunk * reps)[: len(chunk) + need]
                 batches.append(chunk)
         rng.shuffle(batches)
         return batches

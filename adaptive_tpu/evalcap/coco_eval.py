@@ -124,7 +124,13 @@ def coco_eval(
     cf = cf.replace(vocab_length=len(vocab))
 
     if (test_mode or valid_mode) and model is None:
-        model, params, state = get_testOrValid_model(cf, test_mode, valid_mode)
+        model, params, state, resolved = get_testOrValid_model(cf, test_mode, valid_mode)
+        # bake the resolved checkpoint back into cf so the results-file name
+        # below reflects the actual checkpoint (with 'auto', naming from the
+        # knob would collide every run on 'auto.json')
+        cf = cf.replace(
+            **{("test" if test_mode else "valid") + "_pretrained_model": resolved}
+        )
 
     ann_path = cf.val_anno_path
     if test_mode:
@@ -144,6 +150,14 @@ def coco_eval(
         calib = np.stack([ds[i][0] for i in range(min(32, len(ds)))])
         model = calibrate_model(model, cf, params, state, calib)
         print(f"int8: calibrated static scales on {calib.shape[0]} split images")
+        if decoder is not None:
+            # a prebuilt decoder closed over the UNcalibrated model; using it
+            # would silently score the dynamic int8 path every epoch. Rebuild
+            # against the calibrated model — the per-epoch recompile is the
+            # honest cost of static PTQ on weights that move during training
+            # (the scales must track the current weights anyway).
+            print("int8: rebuilding decode program for the calibrated scales")
+            decoder = None
 
     banner = "evaluation on MS-COCO dataset"
     if test_mode:
@@ -189,7 +203,10 @@ def coco_eval(
 
 
 def get_testOrValid_model(cf, test_mode: bool, valid_mode: bool):
-    """Build the model and restore the configured checkpoint (utils.py:253-271)."""
+    """Build the model and restore the configured checkpoint (utils.py:253-271).
+
+    Returns (model, params, state, resolved_path) — the path with 'auto'
+    resolved to the concrete checkpoint, for results-file naming."""
     from adaptive_tpu.models.factory import build_model
     from adaptive_tpu.training import checkpoint as ckpt
     import jax
@@ -223,4 +240,4 @@ def get_testOrValid_model(cf, test_mode: bool, valid_mode: bool):
             f"{knob} must point at a checkpoint for this mode (cfg_wzn.py:78-80,124-126)"
         )
     params, state = ckpt.restore_model(path, params, state)
-    return model, params, state
+    return model, params, state, path

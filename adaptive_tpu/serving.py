@@ -88,7 +88,7 @@ class CaptionService:
             if self.cf.beam_size > 1
             else make_greedy_decoder(self.model, self.cf)
         )
-        self._queue: "queue.Queue[Tuple[np.ndarray, float, queue.Queue]]" = queue.Queue(
+        self._queue: "queue.Queue[Tuple[np.ndarray, float, queue.Queue, threading.Event]]" = queue.Queue(
             maxsize=max_queue if max_queue is not None else 8 * self.batch_size
         )
         self._stop = threading.Event()
@@ -113,8 +113,9 @@ class CaptionService:
         if self._stop.is_set():
             return {"error": "service closed"}
         reply: "queue.Queue" = queue.Queue(1)
+        abandoned = threading.Event()
         try:
-            self._queue.put_nowait((image_u8, time.monotonic(), reply))
+            self._queue.put_nowait((image_u8, time.monotonic(), reply, abandoned))
         except queue.Full:
             with self._lock:
                 self._counters["shed"] += 1
@@ -123,9 +124,11 @@ class CaptionService:
             return reply.get(timeout=timeout)
         except queue.Empty:
             # Errors come back as dicts, never as exceptions into the caller's
-            # thread. The request still occupies its batch slot; when the
-            # worker finishes it the reply queue simply has no reader, and the
-            # completion is counted under 'timeouts', not 'completed'.
+            # thread. The request still occupies its batch slot; the abandoned
+            # flag tells the worker to skip the (reader-less) reply and count
+            # the request under 'timeouts' only, never 'completed'/'errors' —
+            # so requests == completed + errors + shed + invalid + timeouts.
+            abandoned.set()
             with self._lock:
                 self._counters["timeouts"] += 1
             return {"error": "timeout", "timeout_s": timeout}
@@ -164,10 +167,11 @@ class CaptionService:
         self._worker.join(timeout=10)
         while True:  # drain: callers must not block forever
             try:
-                _, _, reply = self._queue.get_nowait()
+                _, _, reply, abandoned = self._queue.get_nowait()
             except queue.Empty:
                 break
-            reply.put({"error": "service closed"})
+            if not abandoned.is_set():
+                reply.put({"error": "service closed"})
 
     # ------------------------------------------------------------- internals
     def _validate(self, img) -> str:
@@ -198,7 +202,7 @@ class CaptionService:
                     break
             self._process(batch)
 
-    def _process(self, batch: List[Tuple[np.ndarray, float, queue.Queue]]):
+    def _process(self, batch):
         n = len(batch)
         images = np.stack([b[0] for b in batch] + [batch[-1][0]] * (self.batch_size - n))
         try:
@@ -206,15 +210,18 @@ class CaptionService:
             ids = np.asarray(out.ids)
             betas = np.asarray(getattr(out, "beta", np.zeros((self.batch_size, 1))))
             done = time.monotonic()
+            live = [b for b in batch if not b[3].is_set()]
             with self._lock:
                 self._counters["batches"] += 1
-                self._counters["completed"] += n
+                self._counters["completed"] += len(live)
                 self._fill_hist[n] += 1
-                for _, t0, _ in batch:
+                for _, t0, _, _ in live:
                     ms = (done - t0) * 1e3
                     self._lat_hist[bisect.bisect_left(_LAT_EDGES_MS, ms)] += 1
             self._ready.set()
-            for i, (_, _, reply) in enumerate(batch):
+            for i, (_, _, reply, abandoned) in enumerate(batch):
+                if abandoned.is_set():  # timed out in submit; counted there
+                    continue
                 caption = self.vocab.decode_ids(ids[i])
                 n_words = len(caption.split())
                 reply.put(
@@ -223,8 +230,9 @@ class CaptionService:
                         "beta": [float(b) for b in betas[i][:n_words]] if betas.ndim == 2 else [],
                     }
                 )
-        except Exception as e:  # surface errors to every waiter
+        except Exception as e:  # surface errors to every live waiter
+            live = [b for b in batch if not b[3].is_set()]
             with self._lock:
-                self._counters["errors"] += n
-            for _, _, reply in batch:
+                self._counters["errors"] += len(live)
+            for _, _, reply, _ in live:
                 reply.put({"error": f"{type(e).__name__}: {e}"})

@@ -94,8 +94,9 @@ def main():
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--inner", type=int, default=24)
     p.add_argument("--json", default="")
-    p.add_argument("--impl", default="xla", choices=["xla", "pallas"],
-                   help="conv implementation to time")
+    p.add_argument("--impl", default="xla", choices=["xla"],
+                   help="conv implementation to time (standalone Pallas convs "
+                   "measured as net losses — VALIDATION.md round-3 ladders)")
     p.add_argument("--only", default="", help="comma-separated layer-name filter")
     args = p.parse_args()
 
@@ -129,8 +130,6 @@ def main():
     rows = []
     total = 0.0
     conv_fn = _conv_i8
-    if args.impl == "pallas":
-        from adaptive_tpu.ops.pallas.int8_conv import conv_i8_pallas as conv_fn  # noqa
 
     only = set(args.only.split(",")) if args.only else None
     for (name, cin, hw, cout, k, stride, count) in RESNET152_CONVS:
