@@ -88,7 +88,12 @@ class CaptionService:
             if self.cf.beam_size > 1
             else make_greedy_decoder(self.model, self.cf)
         )
-        self._queue: "queue.Queue[Tuple[np.ndarray, float, queue.Queue, threading.Event]]" = queue.Queue(
+        # each entry: (image, t_enqueue, reply_queue, flags) — flags is a
+        # {"abandoned": bool, "claimed": bool} cell mutated ONLY under
+        # self._lock, so exactly one of caller-timeout / worker-delivery
+        # claims a request (keeps requests == completed+errors+shed+invalid+
+        # timeouts exact even when delivery races the caller's deadline).
+        self._queue: "queue.Queue[Tuple[np.ndarray, float, queue.Queue, Dict]]" = queue.Queue(
             maxsize=max_queue if max_queue is not None else 8 * self.batch_size
         )
         self._stop = threading.Event()
@@ -111,11 +116,13 @@ class CaptionService:
                 self._counters["invalid"] += 1
             return {"error": err}
         if self._stop.is_set():
+            with self._lock:  # counted so the counter identity still holds
+                self._counters["errors"] += 1
             return {"error": "service closed"}
         reply: "queue.Queue" = queue.Queue(1)
-        abandoned = threading.Event()
+        flags = {"abandoned": False, "claimed": False}
         try:
-            self._queue.put_nowait((image_u8, time.monotonic(), reply, abandoned))
+            self._queue.put_nowait((image_u8, time.monotonic(), reply, flags))
         except queue.Full:
             with self._lock:
                 self._counters["shed"] += 1
@@ -124,14 +131,17 @@ class CaptionService:
             return reply.get(timeout=timeout)
         except queue.Empty:
             # Errors come back as dicts, never as exceptions into the caller's
-            # thread. The request still occupies its batch slot; the abandoned
-            # flag tells the worker to skip the (reader-less) reply and count
-            # the request under 'timeouts' only, never 'completed'/'errors' —
-            # so requests == completed + errors + shed + invalid + timeouts.
-            abandoned.set()
+            # thread. The abandoned flag tells the worker to skip the
+            # (reader-less) reply and count the request under 'timeouts' only,
+            # never 'completed'/'errors'. The claim is atomic under _lock: if
+            # the worker claimed delivery in the race window, wait it out —
+            # the reply is already in flight and must not be double-counted.
             with self._lock:
-                self._counters["timeouts"] += 1
-            return {"error": "timeout", "timeout_s": timeout}
+                if not flags["claimed"]:
+                    flags["abandoned"] = True
+                    self._counters["timeouts"] += 1
+                    return {"error": "timeout", "timeout_s": timeout}
+            return reply.get()  # claimed: put happens right after the claim
 
     def warmup(self):
         img = np.zeros((self.image_size,) * 2 + (3,), np.uint8)
@@ -167,11 +177,15 @@ class CaptionService:
         self._worker.join(timeout=10)
         while True:  # drain: callers must not block forever
             try:
-                _, _, reply, abandoned = self._queue.get_nowait()
+                _, _, reply, flags = self._queue.get_nowait()
             except queue.Empty:
                 break
-            if not abandoned.is_set():
-                reply.put({"error": "service closed"})
+            with self._lock:
+                if flags["abandoned"]:
+                    continue
+                flags["claimed"] = True
+                self._counters["errors"] += 1
+            reply.put({"error": "service closed"})
 
     # ------------------------------------------------------------- internals
     def _validate(self, img) -> str:
@@ -210,8 +224,10 @@ class CaptionService:
             ids = np.asarray(out.ids)
             betas = np.asarray(getattr(out, "beta", np.zeros((self.batch_size, 1))))
             done = time.monotonic()
-            live = [b for b in batch if not b[3].is_set()]
-            with self._lock:
+            with self._lock:  # claim delivery atomically vs caller timeouts
+                live = [b for b in batch if not b[3]["abandoned"]]
+                for b in live:
+                    b[3]["claimed"] = True
                 self._counters["batches"] += 1
                 self._counters["completed"] += len(live)
                 self._fill_hist[n] += 1
@@ -219,8 +235,8 @@ class CaptionService:
                     ms = (done - t0) * 1e3
                     self._lat_hist[bisect.bisect_left(_LAT_EDGES_MS, ms)] += 1
             self._ready.set()
-            for i, (_, _, reply, abandoned) in enumerate(batch):
-                if abandoned.is_set():  # timed out in submit; counted there
+            for i, (_, _, reply, flags) in enumerate(batch):
+                if not flags["claimed"]:  # timed out in submit; counted there
                     continue
                 caption = self.vocab.decode_ids(ids[i])
                 n_words = len(caption.split())
@@ -231,8 +247,10 @@ class CaptionService:
                     }
                 )
         except Exception as e:  # surface errors to every live waiter
-            live = [b for b in batch if not b[3].is_set()]
             with self._lock:
+                live = [b for b in batch if not b[3]["abandoned"]]
+                for b in live:
+                    b[3]["claimed"] = True
                 self._counters["errors"] += len(live)
             for _, _, reply, _ in live:
                 reply.put({"error": f"{type(e).__name__}: {e}"})

@@ -135,6 +135,47 @@ def test_process_sharded_loader_slices_locally(tmp_path):
             )
 
 
+def test_process_sharded_short_tail_wrap_pads(tmp_path):
+    """drop_last=False leaves tail batches whose size may not divide by the
+    process count; the loader wrap-pads them (distributed-sampler contract)
+    so every process takes an equal slice and no sample is dropped: the two
+    halves concatenate to the single-process batch plus a wrapped prefix."""
+    sys.path.insert(0, REPO)
+    from adaptive_tpu.data.synthetic import make_synthetic_dataset
+    from adaptive_tpu.data.coco_api import COCO
+    from adaptive_tpu.data.vocab import build_vocab
+    from adaptive_tpu.data.loader import CocoCaptionDataset, TrainBatches
+
+    ws = str(tmp_path)
+    ann, resized = make_synthetic_dataset(ws, num_images=13, image_size=48, seed=8)
+    v = build_vocab((a["caption"] for a in COCO(ann).anns.values()), threshold=1)
+    ds = CocoCaptionDataset(resized, ann, v)
+
+    kw = dict(batch_size=8, seed=4, num_workers=2, drop_last=False)
+    full = list(TrainBatches(ds, **kw))
+    halves = [
+        list(TrainBatches(ds, **kw, process_index=i, process_count=2))
+        for i in range(2)
+    ]
+    assert len(full) == len(halves[0]) == len(halves[1])
+    seen = []
+    for bi, ref in enumerate(full):
+        cat = {
+            k: np.concatenate([halves[0][bi][k], halves[1][bi][k]])
+            for k in ("images", "captions", "lengths", "img_ids")
+        }
+        n_ref = ref["img_ids"].shape[0]
+        assert cat["img_ids"].shape[0] % 2 == 0  # equal slices
+        for k, r in ref.items():
+            np.testing.assert_array_equal(cat[k][:n_ref], r, err_msg=f"batch {bi} {k}")
+            # any padding rows wrap from the front of the same batch
+            np.testing.assert_array_equal(
+                cat[k][n_ref:], r[: cat[k].shape[0] - n_ref], err_msg=f"pad {bi} {k}"
+            )
+        seen.extend(ref["img_ids"].tolist())
+    assert sorted(set(seen)) == sorted(i["id"] for i in COCO(ann).imgs.values())
+
+
 def test_process_sharded_loader_rejects_indivisible():
     from adaptive_tpu.data.loader import TrainBatches
 

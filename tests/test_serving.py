@@ -145,6 +145,40 @@ def test_int8_serving_requires_and_uses_calibration(tiny_cf):
         svc.close()
 
 
+def test_timeout_counted_once_and_worker_survives(tiny_cf):
+    """A request whose caller gives up counts under 'timeouts' only; the
+    worker skips the reader-less reply, later requests still succeed, and
+    the counter identity requests == completed+errors+shed+invalid+timeouts
+    holds."""
+    import time
+
+    from adaptive_tpu.data.vocab import SPECIALS, Vocabulary
+    from adaptive_tpu.serving import CaptionService
+
+    vocab = Vocabulary(SPECIALS + [f"w{i}" for i in range(28)])
+    cf = tiny_cf.replace(vocab_length=len(vocab), eval_batch_size=2, decode_max_len=4)
+    svc = CaptionService(cf, vocab, batch_size=2, max_wait_ms=5)
+    try:
+        img = np.zeros((72, 72, 3), np.uint8)
+        # the first decode compiles (seconds on CPU) — a 1 ms deadline loses
+        out = svc.caption(img, timeout=0.001)
+        assert out["error"] == "timeout"
+        deadline = time.monotonic() + 180
+        while svc.stats()["batches"] < 1:  # worker finishes the abandoned one
+            assert time.monotonic() < deadline, "worker never processed batch"
+            time.sleep(0.05)
+        st = svc.stats()
+        assert st["timeouts"] == 1 and st["completed"] == 0
+        assert "caption" in svc.caption(img, timeout=180)  # worker survived
+        st = svc.stats()
+        assert st["requests"] == (
+            st["completed"] + st["errors"] + st["shed"] + st["invalid"] + st["timeouts"]
+        )
+        assert st["completed"] == 1 and st["timeouts"] == 1
+    finally:
+        svc.close()
+
+
 def test_overload_shedding(tiny_cf):
     """A full queue sheds with an 'overloaded' error instead of blocking."""
     from adaptive_tpu.data.vocab import SPECIALS, Vocabulary
@@ -158,7 +192,9 @@ def test_overload_shedding(tiny_cf):
         svc._worker.join(timeout=10)
         img = np.zeros((72, 72, 3), np.uint8)
         svc._stop.clear()  # allow enqueue; worker stays dead
-        first = svc._queue.put_nowait((img, 0.0, None))  # fill the queue
+        first = svc._queue.put_nowait(
+            (img, 0.0, None, {"abandoned": False, "claimed": False})
+        )  # fill the queue
         out = svc.caption(img, timeout=5)
         assert out["error"] == "overloaded"
         assert svc.stats()["shed"] == 1
