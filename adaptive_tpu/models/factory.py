@@ -45,6 +45,10 @@ class CaptionModel(NamedTuple):
     # Layers whose identity-block tails fuse with the next block's conv1
     # (ops/pallas/fused_tail.py) on the int8 carry path. Same auto contract.
     int8_fused_tails: Any = "auto"
+    # Space-to-depth stem on the int8 carry path: rewrite the 7x7/s2 conv1 as
+    # a bit-exact s2d + 4x4/s1 conv (models/infer.py::_stem_s2d_kernel).
+    # "auto" follows the measured default; True/False overrides.
+    int8_stem_s2d: Any = "auto"
 
     # ------------------------------------------------------------------ init
     def init(self, key) -> Tuple[Dict, Dict]:
@@ -87,10 +91,15 @@ class CaptionModel(NamedTuple):
             # XLA's conv2+epilogue+conv3 mega-fusion (VALIDATION.md round-3
             # fused-tail ladder), so auto stays empty.
             tails = ()
+        s2d = self.int8_stem_s2d
+        if s2d == "auto":
+            # not yet measured a win on-chip; flip here if the bench ladder
+            # does (bench.py --stem-s2d on)
+            s2d = False
         return encoder_apply_inference(
             params["encoder"], state, images, self.arch, self.compute_dtype,
             quant=self.encoder_quant, scales=self.int8_scales,
-            fused_layers=fused, fused_tails=tails,
+            fused_layers=fused, fused_tails=tails, stem_s2d=bool(s2d),
         )
 
     def decoder_inference_params(self, params):

@@ -169,6 +169,7 @@ def _conv_i8(x, p, stride=1, out_dtype=jnp.bfloat16, x_scale=None, pad=None):
 def resnet_apply_folded_int8(
     folded: Dict, x: jnp.ndarray, arch: str, scales: Optional[Dict] = None,
     fused_layers=(), fused_tails=(), interpret: bool = False,
+    stem_s2d: bool = False,
 ) -> jnp.ndarray:
     """BN-folded int8-conv inference forward.
 
@@ -193,7 +194,7 @@ def resnet_apply_folded_int8(
         )
     if scales is not None:
         return _resnet_int8_carry(folded, x, arch, scales, fused_layers,
-                                  fused_tails, interpret)
+                                  fused_tails, interpret, stem_s2d)
     dt = x.dtype
 
     def conv(name, xx, p, stride, pad):
@@ -219,6 +220,36 @@ def _acc_i8(x_s8, kernel_f32, x_scale, stride=1, pad=None):
 def _requant(y_f32, scale):
     """fp32 -> s8 with a static scale (pure elementwise; fuses upstream)."""
     return jnp.clip(jnp.round(y_f32 / scale), -127, 127).astype(jnp.int8)
+
+
+# ------------------------------------------------- space-to-depth stem
+# The 7x7/s2 conv1 reads 3 input channels — 3 of the MXU's 128 lanes. The
+# classic TPU transform re-expresses it exactly: pack 2x2 pixel blocks into
+# channels (224,224,3 -> 112,112,12) and run a 4x4/s1 conv whose kernel is
+# the 7x7 kernel's taps scattered into 4x4x12 (15 zero taps). Output(i,j) =
+# sum_{u,v} x[2i+u-3, 2j+v-3] w[u,v]; with u = 2a+r-1 (a in 0..3, r in 0..1)
+# the receptive field spans exactly 4 s2d rows/cols with padding (2,1).
+# BIT-EXACT on the int8 path: the integer products are the same set (zero
+# taps contribute 0 to the s32 accumulator), and _quant_w's per-out-channel
+# max|w| is unchanged by added zeros, so the quantized taps are identical
+# (tests/test_int8.py::test_stem_s2d_bit_exact).
+
+
+def _s2d(x: jnp.ndarray) -> jnp.ndarray:
+    """[B,H,W,C] -> [B,H/2,W/2,4C], channel order (row, col, C) row-major."""
+    B, H, W, C = x.shape
+    y = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(B, H // 2, W // 2, 4 * C)
+
+
+def _stem_s2d_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """[7,7,Cin,Cout] -> [4,4,4*Cin,Cout]: w'[a,b,(r,q,ch)] = w[2a+r-1, 2b+q-1, ch]
+    (front-padding one zero row/col realizes the u=-1 / v=-1 taps)."""
+    K, _, Cin, Cout = kernel.shape
+    assert K == 7, K
+    wp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    wp = wp.reshape(4, 2, 4, 2, Cin, Cout).transpose(0, 2, 1, 3, 4, 5)
+    return wp.reshape(4, 4, 4 * Cin, Cout)
 
 
 # MEASURED NEGATIVE (round 3, VALIDATION.md): zero-point-128 asymmetric
@@ -316,7 +347,8 @@ def _fused_tail_pair(p: Dict, next_p: Dict, y_s8_in: jnp.ndarray,
 
 def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict,
                        fused_layers=(), fused_tails=(),
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       stem_s2d: bool = False) -> jnp.ndarray:
     """int8-activation-carry forward: inter-block tensors stay s8+scale.
 
     Same traversal order/naming as _folded_forward (so calibrate_int8's scale
@@ -358,8 +390,13 @@ def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict,
     p = folded["conv1"]
     s0 = scales["conv1"]
     s_in = scales["layer1.0.conv1"]
-    acc, sc = _acc_i8(_requant(x.astype(jnp.float32), s0), p["kernel"], s0,
-                      2, [(3, 3), (3, 3)])
+    xq = _requant(x.astype(jnp.float32), s0)
+    if stem_s2d and p["kernel"].shape[0] == 7:
+        # bit-exact 7x7/s2 -> s2d + 4x4/s1 rewrite (see _stem_s2d_kernel)
+        acc, sc = _acc_i8(_s2d(xq), _stem_s2d_kernel(p["kernel"]), s0,
+                          1, [(2, 1), (2, 1)])
+    else:
+        acc, sc = _acc_i8(xq, p["kernel"], s0, 2, [(3, 3), (3, 3)])
     y = jax.nn.relu(acc.astype(jnp.float32) * sc[None, None, None, :] + p["bias"])
     y_s8 = jax.lax.reduce_window(
         _requant(y, s_in), jnp.int8(-128), jax.lax.max,
@@ -486,7 +523,7 @@ def calibrate_int8(enc_params: Dict, state: Dict, images, arch: str) -> Dict[str
 def encoder_apply_inference(
     enc_params: Dict, state: Dict, images: jnp.ndarray, arch: str, dtype,
     quant: str = "none", scales: Optional[Dict] = None, fused_layers=(),
-    fused_tails=(),
+    fused_tails=(), stem_s2d: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Folded, dtype-cast encoder forward: images (preprocessed float NHWC) ->
     (V, v_g, h0, c0). Matches encoder_apply(train=False); quant='int8' uses
@@ -501,7 +538,7 @@ def encoder_apply_inference(
         # full-weight cast pass)
         A = resnet_apply_folded_int8(
             folded, images.astype(dtype), arch, scales, fused_layers,
-            fused_tails,
+            fused_tails, stem_s2d=stem_s2d,
         )
     else:
         A = resnet_apply_folded(cast_floating(folded, dtype), images.astype(dtype), arch)

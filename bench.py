@@ -74,6 +74,8 @@ def _make_decode_step(args):
     if args.fused_tails != "auto":
         ft = () if args.fused_tails == "none" else tuple(args.fused_tails.split(","))
         model = model._replace(int8_fused_tails=ft)
+    if args.stem_s2d != "auto":
+        model = model._replace(int8_stem_s2d=args.stem_s2d == "on")
     params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
 
     images = jax.device_put(
@@ -226,6 +228,8 @@ def main():
                    help="int8 fused Pallas block layers: auto|none|layer1,layer2,...")
     p.add_argument("--fused-tails", default="auto",
                    help="int8 fused tail+conv1 layers: auto|none|layer1,layer2,...")
+    p.add_argument("--stem-s2d", default="auto", choices=["auto", "on", "off"],
+                   help="int8 space-to-depth stem (bit-exact 7x7/s2 -> 4x4/s1)")
     p.add_argument("--encoder-off", action="store_true",
                    help="train mode: bench the pre-fine-tune phase (no conv bwd)")
     p.add_argument("--seq-len", type=int, default=24, help="train mode caption bucket")

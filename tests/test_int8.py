@@ -72,6 +72,49 @@ def test_static_scales_match_dynamic(tiny_cf):
     assert rel < 0.05, rel
 
 
+def test_stem_s2d_bit_exact():
+    """The space-to-depth stem rewrite (7x7/s2 -> s2d + 4x4/s1) must be
+    BIT-exact on the int8 carry path: same integer products in the s32
+    accumulator, and _quant_w's per-channel max|w| is unchanged by the
+    added zero taps (models/infer.py::_stem_s2d_kernel derivation)."""
+    from adaptive_tpu.models.infer import calibrate_int8
+
+    params, state = R.init_resnet(jax.random.PRNGKey(5), "resnet18")
+    rng = np.random.default_rng(5)
+    state = jax.tree.map(
+        lambda x: jnp.asarray(rng.uniform(0.8, 1.2, x.shape), jnp.float32), state
+    )
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    scales = calibrate_int8({"resnet": params}, {"resnet": state}, x, "resnet18")
+    folded = fold_resnet(params, state, "resnet18")
+    base = np.asarray(resnet_apply_folded_int8(folded, x, "resnet18", scales))
+    s2d = np.asarray(
+        resnet_apply_folded_int8(folded, x, "resnet18", scales, stem_s2d=True)
+    )
+    np.testing.assert_array_equal(s2d, base)
+
+
+def test_stem_s2d_kernel_transform_exact_fp():
+    """Direct transform check in exact float arithmetic: the rewritten conv
+    equals the 7x7/s2 conv on random f32 inputs (same products, fp32 dot)."""
+    from adaptive_tpu.models.infer import _s2d, _stem_s2d_kernel
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(7, 7, 3, 8)), jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, w, (2, 2), [(3, 3), (3, 3)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    got = jax.lax.conv_general_dilated(
+        _s2d(x), _stem_s2d_kernel(w), (1, 1), [(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
 def test_int8_greedy_decode_runs(tiny_cf):
     from adaptive_tpu.decoding import make_greedy_decoder
 
