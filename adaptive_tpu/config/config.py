@@ -139,6 +139,12 @@ class Config:
     # int8 MXU with dynamic per-tensor activation / per-channel weight scales
     # (post-training quantization; validate quality before production).
     encoder_quant: str = "none"           # none|int8
+    # int8 activation-scale granularity: 'channel' calibrates one scale per
+    # input channel and folds it into the conv kernels (models/infer.py::
+    # _acc_i8) — better quantization SNR at identical runtime cost; 'tensor'
+    # is the one-scale-per-conv fallback (required by the experimental fused
+    # Pallas block/tail kernels).
+    encoder_quant_granularity: str = "channel"  # channel|tensor
     # Decode-time sentinel h_{t-1}: the reference sampler feeds h_{t-1}=0 at
     # every decode step (adaptive_attention.py:116-122 with seq_len==1). Keep
     # False for checkpoint-fidelity with the reference; True uses the true
@@ -267,6 +273,11 @@ def _validate(cf: Config):
         raise ValueError(f"use_pallas={cf.use_pallas!r}")
     if cf.encoder_quant not in ("none", "int8"):
         raise ValueError(f"encoder_quant={cf.encoder_quant!r} — must be none|int8")
+    if cf.encoder_quant_granularity not in ("channel", "tensor"):
+        raise ValueError(
+            f"encoder_quant_granularity={cf.encoder_quant_granularity!r} — "
+            "must be channel|tensor"
+        )
     if cf.opt_state_sharding not in ("replicated", "data"):
         raise ValueError(
             f"opt_state_sharding={cf.opt_state_sharding!r} — must be replicated|data"

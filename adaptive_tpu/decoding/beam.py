@@ -15,6 +15,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from adaptive_tpu.decoding.greedy import prepare_cached
 from adaptive_tpu.ops.preprocess import eval_preprocess
 
 NEG_INF = -1e9
@@ -36,12 +37,13 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
     eos = cf.decode_eos_token
     size = cf.train_crop_size
     sentinel_prev = cf.sampler_sentinel_uses_prev_hidden
+    prepare = prepare_cached(model)
 
     @jax.jit
-    def decode(params, state, images_u8) -> BeamOutput:
+    def decode_prepared(prepared, images_u8) -> BeamOutput:
         images = eval_preprocess(images_u8, size, model.compute_dtype)
-        V, v_g, h0, c0 = model.encode_inference(params, state, images)
-        params = model.decoder_inference_params(params)
+        V, v_g, h0, c0 = model.encode_inference(None, None, images, prepared=prepared)
+        params = {"decoder": prepared["decoder"]}
         B = V.shape[0]
         K, H = V.shape[1], h0.shape[-1]
 
@@ -124,4 +126,8 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
         best_beta = jnp.take_along_axis(beta_buf, best[:, None, None], axis=1)[:, 0]
         return BeamOutput(best_ids, best_score, ids_buf, norm_scores, best_att, best_beta)
 
+    def decode(params, state, images_u8) -> BeamOutput:
+        return decode_prepared(prepare(params, state), images_u8)
+
+    decode.prepare = prepare  # exposed for cache-behavior tests/inspection
     return decode

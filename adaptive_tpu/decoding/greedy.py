@@ -32,27 +32,56 @@ class GreedyOutput(NamedTuple):
     beta: jnp.ndarray       # [B, L] sentinel gate (zeros for non-adaptive)
 
 
+def prepare_cached(model):
+    """Per-checkpoint inference-weight prep (model.prepare_inference, jitted)
+    memoized on the (params, state) object identities: a serving/bench loop
+    pays it once, a per-epoch eval pays it once per checkpoint. The strong
+    refs in the cache entry keep the ids stable."""
+    prep = jax.jit(model.prepare_inference)
+    cache = []
+
+    def get(params, state):
+        if any(
+            isinstance(leaf, jax.core.Tracer)
+            for leaf in jax.tree.leaves((params, state))
+        ):
+            # called under an outer jit (export.py bakes weights in; ad-hoc
+            # jitted harnesses): run the prep inline in that trace — same
+            # math, just not hoisted — and never cache tracers
+            return model.prepare_inference(params, state)
+        if not (cache and cache[0] is params and cache[1] is state):
+            get.misses += 1
+            cache[:] = [params, state, prep(params, state)]
+        return cache[2]
+
+    get.misses = 0
+    return get
+
+
 def make_greedy_decoder(model, cf):
-    """Returns jitted decode(params, state, images_u8) -> GreedyOutput.
+    """Returns decode(params, state, images_u8) -> GreedyOutput.
 
     images_u8: uint8 NHWC at any square size; resized to train_crop_size and
-    normalized on device (utils.py:135-139 parity).
+    normalized on device (utils.py:135-139 parity). Weight preparation (BN
+    fold + int8 quantization + dtype casts) runs in its own jit once per
+    checkpoint (prepare_cached); the per-batch program sees only prepared
+    weights — identical math, ~8 ms/batch fewer weight passes at R152.
     """
     max_len = cf.decode_max_len
     start = cf.decode_start_token
     eos = cf.decode_eos_token
     size = cf.train_crop_size
     sentinel_prev = cf.sampler_sentinel_uses_prev_hidden
+    prepare = prepare_cached(model)
 
     @jax.jit
-    def decode(params, state, images_u8) -> GreedyOutput:
+    def decode_prepared(prepared, images_u8) -> GreedyOutput:
         images = eval_preprocess(images_u8, size, model.compute_dtype)
-        # inference fast path: BN-folded encoder + compute-dtype decoder weights
-        V, v_g, h0, c0 = model.encode_inference(params, state, images)
-        params = model.decoder_inference_params(params)
+        V, v_g, h0, c0 = model.encode_inference(None, None, images, prepared=prepared)
+        params = {"decoder": prepared["decoder"]}
         B = V.shape[0]
         pv = model.precompute_slots(params, V)  # hoisted out of the scan
-        head = model.prepare_greedy_head(params)  # padded vocab head, hoisted
+        head = prepared["head"]  # padded vocab head, prepared offline
         dstate = model.init_decode_state(h0, c0)
         tok0 = jnp.full((B,), start, jnp.int32)
 
@@ -74,4 +103,8 @@ def make_greedy_decoder(model, cf):
             beta=jnp.swapaxes(betas, 0, 1),
         )
 
+    def decode(params, state, images_u8) -> GreedyOutput:
+        return decode_prepared(prepare(params, state), images_u8)
+
+    decode.prepare = prepare  # exposed for cache-behavior tests/inspection
     return decode

@@ -73,12 +73,8 @@ class CaptionModel(NamedTuple):
             params["encoder"], state, images.astype(self.compute_dtype), self.arch, train
         )
 
-    def encode_inference(self, params, state, images):
-        """BN-folded, dtype-cast encoder forward for the decode hot path
-        (models/infer.py). Same outputs as encode(train=False); optionally
-        int8-quantized convs (encoder_quant='int8')."""
-        from adaptive_tpu.models.infer import encoder_apply_inference
-
+    def _resolved_fusion(self):
+        """(fused_layers, fused_tails, stem_s2d) with 'auto' resolved."""
         fused = self.int8_fused_layers
         if fused == "auto":
             # No measured-win set yet: the roll-based tap generation costs
@@ -96,11 +92,47 @@ class CaptionModel(NamedTuple):
             # not yet measured a win on-chip; flip here if the bench ladder
             # does (bench.py --stem-s2d on)
             s2d = False
+        return fused, tails, bool(s2d)
+
+    def encode_inference(self, params, state, images, prepared=None):
+        """BN-folded, dtype-cast encoder forward for the decode hot path
+        (models/infer.py). Same outputs as encode(train=False); optionally
+        int8-quantized convs (encoder_quant='int8'). prepared: tree from
+        prepare_inference — same math with every weight pass hoisted out."""
+        from adaptive_tpu.models.infer import encoder_apply_inference
+
+        fused, tails, s2d = self._resolved_fusion()
         return encoder_apply_inference(
-            params["encoder"], state, images, self.arch, self.compute_dtype,
+            params["encoder"] if prepared is None else None, state, images,
+            self.arch, self.compute_dtype,
             quant=self.encoder_quant, scales=self.int8_scales,
-            fused_layers=fused, fused_tails=tails, stem_s2d=bool(s2d),
+            fused_layers=fused, fused_tails=tails, stem_s2d=s2d,
+            prepared=None if prepared is None else prepared["encoder"],
         )
+
+    def prepare_inference(self, params, state):
+        """Offline per-checkpoint weight preparation for the decode jits:
+        {'encoder': prepare_encoder_inference tree, 'decoder': compute-dtype
+        decoder params, 'head': padded greedy vocab head or None}. The decode
+        programs consume this instead of re-deriving the BN fold / int8
+        quantization / dtype casts every batch (models/infer.py). jit it —
+        one compiled program per checkpoint."""
+        from adaptive_tpu.models.infer import cast_floating, prepare_encoder_inference
+
+        fused, tails, s2d = self._resolved_fusion()
+        enc = prepare_encoder_inference(
+            params["encoder"], state, self.arch, self.compute_dtype,
+            quant=self.encoder_quant, scales=self.int8_scales, stem_s2d=s2d,
+            # the fused Pallas experiments quantize from raw folded kernels
+            # inside the decode program — prep then hoists only the BN fold
+            quantize_weights=not (fused or tails),
+        )
+        dec = cast_floating(params["decoder"], self.compute_dtype)
+        return {
+            "encoder": enc,
+            "decoder": dec,
+            "head": self.prepare_greedy_head({"decoder": dec}),
+        }
 
     def decoder_inference_params(self, params):
         """Decoder subtree cast to the compute dtype (halves HBM streaming of

@@ -19,6 +19,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from adaptive_tpu.models import resnet as R
 
@@ -192,6 +193,19 @@ def resnet_apply_folded_int8(
             f"layers {sorted(overlap)} appear in both fused_layers and "
             "fused_tails; each layer may use at most one fusion scheme"
         )
+    if (fused_layers or fused_tails) and any(
+        getattr(s, "ndim", 0) >= 1 for s in (scales or {}).values()
+    ):
+        raise ValueError(
+            "per-channel int8 scales (encoder_quant_granularity='channel') are "
+            "not supported by the fused Pallas block/tail kernels (they take "
+            "scalar carry scales); use granularity='tensor' or fused_*=()"
+        )
+    if (fused_layers or fused_tails) and "wq" in folded.get("conv1", {}):
+        raise ValueError(
+            "the fused Pallas block/tail kernels quantize from raw folded "
+            "kernels; pass the unprepared tree (skip prepare_encoder_inference)"
+        )
     if scales is not None:
         return _resnet_int8_carry(folded, x, arch, scales, fused_layers,
                                   fused_tails, interpret, stem_s2d)
@@ -203,18 +217,41 @@ def resnet_apply_folded_int8(
     return _folded_forward(folded, x, arch, conv)
 
 
-def _acc_i8(x_s8, kernel_f32, x_scale, stride=1, pad=None):
-    """int8 conv returning (int32 accumulator, combined fp32 scale [cout])."""
-    wq, sw = _quant_w(kernel_f32.astype(jnp.float32))
+def _quant_conv_weight(kernel, x_scale):
+    """(int8 HWIO weight, fp32 [cout] scale for the s32 accumulator).
+
+    x_scale may be a per-input-channel vector [Cin] (encoder_quant_granularity
+    ='channel'): sum_c (x_q[c]*sx[c])*w[c] == sum_c x_q[c]*(w*sx)[c], so the
+    activation scale folds into the fp32 kernel BEFORE weight quantization —
+    per-channel activation resolution at zero runtime cost (the fold is an
+    elementwise pass over the weights; the conv itself is unchanged)."""
+    kernel = kernel.astype(jnp.float32)
+    if getattr(x_scale, "ndim", 0) >= 1:
+        kernel = kernel * jnp.asarray(x_scale, jnp.float32).reshape(1, 1, -1, 1)
+        x_scale = 1.0
+    wq, sw = _quant_w(kernel)
+    return wq, sw * x_scale
+
+
+def _acc_i8(x_s8, p, x_scale, stride=1, pad=None):
+    """int8 conv from a folded conv dict: (int32 accumulator, fp32 [cout]
+    scale). p carries either a raw fp32 'kernel' (quantized here, inside the
+    per-batch program) or a prepared {'wq','scale'} pair from
+    prepare_encoder_inference (quantized once, offline — the decode program
+    then skips every weight pass)."""
+    if "wq" in p:
+        wq, sc = p["wq"], p["scale"]
+    else:
+        wq, sc = _quant_conv_weight(p["kernel"], x_scale)
     if pad is None:
-        k = kernel_f32.shape[0]
+        k = wq.shape[0]
         pad = [((k - 1) // 2, (k - 1) // 2)] * 2
     acc = jax.lax.conv_general_dilated(
         x_s8, wq, (stride, stride), pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-    return acc, (x_scale * sw)
+    return acc, sc
 
 
 def _requant(y_f32, scale):
@@ -391,12 +428,32 @@ def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict,
     s0 = scales["conv1"]
     s_in = scales["layer1.0.conv1"]
     xq = _requant(x.astype(jnp.float32), s0)
-    if stem_s2d and p["kernel"].shape[0] == 7:
-        # bit-exact 7x7/s2 -> s2d + 4x4/s1 rewrite (see _stem_s2d_kernel)
-        acc, sc = _acc_i8(_s2d(xq), _stem_s2d_kernel(p["kernel"]), s0,
-                          1, [(2, 1), (2, 1)])
+    if "wq" in p:
+        # prepared stem (prepare_encoder_inference): the s2d rewrite decision
+        # is baked into the weight (4x4 = rewritten, static shape under jit) —
+        # the runtime flag must agree
+        use_s2d = p["wq"].shape[0] == 4
+        if use_s2d != bool(stem_s2d):
+            raise ValueError(
+                "stem_s2d flag does not match the prepared stem kernel; re-run "
+                "prepare_encoder_inference with the same stem_s2d setting"
+            )
     else:
-        acc, sc = _acc_i8(xq, p["kernel"], s0, 2, [(3, 3), (3, 3)])
+        use_s2d = stem_s2d and p["kernel"].shape[0] == 7
+    if use_s2d:
+        # bit-exact 7x7/s2 -> s2d + 4x4/s1 rewrite (see _stem_s2d_kernel).
+        # _s2d packs channels (row, col, C) row-major, so a per-channel image
+        # scale tiles 4x; zero taps stay zero under the fold, so per-channel
+        # stays bit-exact vs the 7x7 path too.
+        if "wq" in p:
+            stem, s0k = p, None
+        else:
+            s0k = (jnp.tile(jnp.asarray(s0, jnp.float32), 4)
+                   if getattr(s0, "ndim", 0) >= 1 else s0)
+            stem = {"kernel": _stem_s2d_kernel(p["kernel"])}
+        acc, sc = _acc_i8(_s2d(xq), stem, s0k, 1, [(2, 1), (2, 1)])
+    else:
+        acc, sc = _acc_i8(xq, p, s0, 2, [(3, 3), (3, 3)])
     y = jax.nn.relu(acc.astype(jnp.float32) * sc[None, None, None, :] + p["bias"])
     y_s8 = jax.lax.reduce_window(
         _requant(y, s_in), jnp.int8(-128), jax.lax.max,
@@ -426,7 +483,7 @@ def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict,
             continue
 
         def mid(name, z_s8, z_scale, cp, strd):  # conv + rescale + bias + relu
-            acc, csc = _acc_i8(z_s8, cp["kernel"], z_scale, strd)
+            acc, csc = _acc_i8(z_s8, cp, z_scale, strd)
             z = jax.nn.relu(acc.astype(jnp.float32) * csc[None, None, None, :] + cp["bias"])
             return z
 
@@ -448,16 +505,16 @@ def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict,
                 )
                 s_in = s_out
                 continue
-            acc, csc = _acc_i8(_requant(z, s3), p["conv3"]["kernel"], s3)
+            acc, csc = _acc_i8(_requant(z, s3), p["conv3"], s3)
             tail = acc.astype(jnp.float32) * csc[None, None, None, :] + p["conv3"]["bias"]
         else:
             z = mid(f"{nm}.conv1", y_s8, s_in, p["conv1"], stride)
             s2 = scales[f"{nm}.conv2"]
-            acc, csc = _acc_i8(_requant(z, s2), p["conv2"]["kernel"], s2)
+            acc, csc = _acc_i8(_requant(z, s2), p["conv2"], s2)
             tail = acc.astype(jnp.float32) * csc[None, None, None, :] + p["conv2"]["bias"]
 
         if "downsample" in p:
-            dacc, dsc = _acc_i8(y_s8, p["downsample"]["kernel"], s_in, stride)
+            dacc, dsc = _acc_i8(y_s8, p["downsample"], s_in, stride)
             shortcut = dacc.astype(jnp.float32) * dsc[None, None, None, :] + p["downsample"]["bias"]
             s_sc = scales.get(f"{nm}.downsample_out")
             if s_sc is not None:
@@ -486,18 +543,31 @@ def calibrate_model(model, cf, params, state, images_u8):
     from adaptive_tpu.ops.preprocess import eval_preprocess
 
     calib = eval_preprocess(jnp.asarray(images_u8), cf.train_crop_size, jnp.float32)
-    scales = calibrate_int8(params["encoder"], state, calib, cf.encoder_backbone)
+    scales = calibrate_int8(
+        params["encoder"], state, calib, cf.encoder_backbone,
+        granularity=getattr(cf, "encoder_quant_granularity", "channel"),
+    )
     return model._replace(int8_scales=scales)
 
 
-def calibrate_int8(enc_params: Dict, state: Dict, images, arch: str) -> Dict[str, float]:
+def calibrate_int8(enc_params: Dict, state: Dict, images, arch: str,
+                   granularity: str = "tensor") -> Dict[str, Any]:
     """One-shot PTQ calibration: run a representative (preprocessed float)
     batch through the folded fp32 forward recording each conv input's
     max-abs; returns {conv_name: scale} for static int8 inference.
 
+    granularity='tensor' -> float scales (one per conv input);
+    granularity='channel' -> np.float32 [Cin] vectors (per-channel activation
+    resolution; the forward folds them into the kernels, see _acc_i8 — same
+    fused epilogues, better quantization SNR since post-BN-fold channel
+    ranges differ by orders of magnitude).
+
     Jitted as one program (a single compile; eager would dispatch ~150
     separate conv compiles). Uses the same traversal as the int8 forward, so
     scale names always match."""
+    if granularity not in ("tensor", "channel"):
+        raise ValueError(f"granularity={granularity!r} — must be tensor|channel")
+    axes = None if granularity == "tensor" else (0, 1, 2)
 
     @jax.jit
     def amaxes(enc_params, state, images):
@@ -505,48 +575,125 @@ def calibrate_int8(enc_params: Dict, state: Dict, images, arch: str) -> Dict[str
         out: Dict[str, jnp.ndarray] = {}
 
         def conv(name, xx, p, stride, pad):
-            out[name] = jnp.max(jnp.abs(xx.astype(jnp.float32)))
+            out[name] = jnp.max(jnp.abs(xx.astype(jnp.float32)), axis=axes)
             y = _plain_conv(name, xx, p, stride, pad)
             if name.endswith("downsample"):
                 # shortcut-branch OUTPUT scale: lets the int8-carry forward
                 # keep the downsample branch s8 (no s32 accumulator spill)
-                out[name + "_out"] = jnp.max(jnp.abs(y.astype(jnp.float32)))
+                out[name + "_out"] = jnp.max(jnp.abs(y.astype(jnp.float32)), axis=axes)
             return y
 
         _folded_forward(folded, images.astype(jnp.float32), arch, conv)
         return out
 
     raw = jax.device_get(amaxes(enc_params, state, images))
-    return {k: max(float(v), 1e-8) / 127.0 for k, v in raw.items()}
+    if granularity == "tensor":
+        return {k: max(float(v), 1e-8) / 127.0 for k, v in raw.items()}
+    return {
+        k: np.maximum(np.asarray(v, np.float32), 1e-8) / np.float32(127.0)
+        for k, v in raw.items()
+    }
+
+
+def prepare_encoder_inference(
+    enc_params: Dict, state: Dict, arch: str, dtype, quant: str = "none",
+    scales: Optional[Dict] = None, stem_s2d: bool = False,
+    quantize_weights: bool = True,
+) -> Dict:
+    """Offline inference weight preparation — jit once per checkpoint.
+
+    Returns the tree encoder_apply_inference consumes via `prepared=`:
+    BN-folded convs, compute-dtype cast for the float path or
+    {'wq','scale','bias'} int8-quantized (activation scales pre-combined /
+    per-channel scales folded into the kernels, _quant_conv_weight) for the
+    static-scale int8 path, plus the compute-dtype affine heads. Hoisting
+    this out of the per-batch decode program removes every weight pass (BN
+    fold, scale fold, quantize round/clip/cast, dtype cast) from the decode
+    hot loop — they otherwise re-run per batch because params are traced
+    arguments, not constants."""
+    folded = fold_resnet(enc_params["resnet"], state["resnet"], arch)
+    if quant == "int8" and scales is not None and quantize_weights:
+        block_type, stages = R.RESNET_SPECS[arch]
+        n_convs = 3 if block_type == "bottleneck" else 2
+
+        def prep(p, key):
+            wq, sc = _quant_conv_weight(p["kernel"], scales[key])
+            return {"wq": wq, "scale": sc, "bias": p["bias"].astype(jnp.float32)}
+
+        stem = folded["conv1"]
+        use_s2d = bool(stem_s2d) and stem["kernel"].shape[0] == 7
+        if use_s2d:
+            s0 = scales["conv1"]
+            s0k = (jnp.tile(jnp.asarray(s0, jnp.float32), 4)
+                   if getattr(s0, "ndim", 0) >= 1 else s0)
+            wq, sc = _quant_conv_weight(_stem_s2d_kernel(stem["kernel"]), s0k)
+        else:
+            wq, sc = _quant_conv_weight(stem["kernel"], scales["conv1"])
+        # NOTE: no explicit s2d marker — a bool leaf would be traced under
+        # jit; the 4x4-vs-7x7 wq shape (static) carries the decision
+        out: Dict[str, Any] = {"conv1": {
+            "wq": wq, "scale": sc,
+            "bias": stem["bias"].astype(jnp.float32),
+        }}
+        for li, n_blocks in enumerate(stages):
+            blocks = []
+            for bi in range(n_blocks):
+                p = folded[f"layer{li+1}"][bi]
+                nm = f"layer{li+1}.{bi}"
+                fp = {f"conv{ci}": prep(p[f"conv{ci}"], f"{nm}.conv{ci}")
+                      for ci in range(1, n_convs + 1)}
+                if "downsample" in p:
+                    # the downsample input IS the block input: its calibrated
+                    # scale equals conv1's (same tensor, same max)
+                    fp["downsample"] = prep(p["downsample"], f"{nm}.downsample")
+                blocks.append(fp)
+            out[f"layer{li+1}"] = blocks
+        folded = out
+    elif quant != "int8":
+        folded = cast_floating(folded, dtype)
+    # int8 with scales=None (dynamic fallback) keeps the fp32 folded tree —
+    # that path re-quantizes per batch by design.
+    prepared = {"resnet": folded}
+    for name in ("affine_a", "affine_b", "affine_h0", "affine_c0"):
+        prepared[name] = cast_floating(enc_params[name], dtype)
+    return prepared
 
 
 def encoder_apply_inference(
     enc_params: Dict, state: Dict, images: jnp.ndarray, arch: str, dtype,
     quant: str = "none", scales: Optional[Dict] = None, fused_layers=(),
-    fused_tails=(), stem_s2d: bool = False,
+    fused_tails=(), stem_s2d: bool = False, prepared: Optional[Dict] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Folded, dtype-cast encoder forward: images (preprocessed float NHWC) ->
     (V, v_g, h0, c0). Matches encoder_apply(train=False); quant='int8' uses
     int8 convs (static scales if calibrated, else dynamic); fused_layers /
-    fused_tails select layers for the fused Pallas kernels (TPU only)."""
+    fused_tails select layers for the fused Pallas kernels (TPU only).
+    prepared: tree from prepare_encoder_inference — skips every per-batch
+    weight pass (identical math: same ops, hoisted)."""
     from adaptive_tpu.ops import inits
 
-    folded = fold_resnet(enc_params["resnet"], state["resnet"], arch)
+    if prepared is not None:
+        folded = prepared["resnet"]
+        aff = lambda name: prepared[name]
+    else:
+        # keep folded kernels fp32 for int8: quantization from bf16-rounded
+        # weights would diverge from the fp32-calibrated scales (and costs an
+        # extra full-weight cast pass)
+        folded = fold_resnet(enc_params["resnet"], state["resnet"], arch)
+        if quant != "int8":
+            folded = cast_floating(folded, dtype)
+        aff = lambda name: cast_floating(enc_params[name], dtype)
     if quant == "int8":
-        # keep folded kernels fp32: quantization from bf16-rounded weights
-        # would diverge from the fp32-calibrated scales (and costs an extra
-        # full-weight cast pass)
         A = resnet_apply_folded_int8(
             folded, images.astype(dtype), arch, scales, fused_layers,
             fused_tails, stem_s2d=stem_s2d,
         )
     else:
-        A = resnet_apply_folded(cast_floating(folded, dtype), images.astype(dtype), arch)
+        A = resnet_apply_folded(folded, images.astype(dtype), arch)
     B, Hf, Wf, C = A.shape
     A_flat = A.reshape(B, Hf * Wf, C)
     a_g = jnp.mean(A_flat.astype(jnp.float32), axis=1).astype(dtype)
 
-    aff = lambda name: cast_floating(enc_params[name], dtype)
     V = jax.nn.relu(inits.linear(aff("affine_a"), A_flat))
     v_g = jax.nn.relu(inits.linear(aff("affine_b"), a_g))
     h0 = jnp.tanh(inits.linear(aff("affine_h0"), a_g))

@@ -66,6 +66,7 @@ def _make_decode_step(args):
         beam_size=args.beam,
         use_pallas=args.use_pallas,
         encoder_quant=args.quant,
+        encoder_quant_granularity=args.quant_granularity,
     )
     model = build_model(cf)
     if args.fused_blocks != "auto":
@@ -92,12 +93,16 @@ def _make_decode_step(args):
         make_beam_decoder(model, cf) if args.beam > 1 else make_greedy_decoder(model, cf)
     )
 
-    @jax.jit
-    def step(params, state, images):
-        out = decode(params, state, images)
-        return jnp.sum(out.ids)  # scalar sync handle
+    # decode is called eagerly (NOT wrapped in an outer jit) so its
+    # per-checkpoint weight prep (decoding/greedy.py::prepare_cached) runs
+    # once, not per batch; the scalar sum is a separate tiny program used
+    # only as the sync handle.
+    sum_ids = jax.jit(jnp.sum)
 
-    return lambda imgs: step(params, state, imgs), images
+    def step(imgs):
+        return sum_ids(decode(params, state, imgs).ids)
+
+    return step, images
 
 
 def _make_train_step(args):
@@ -224,6 +229,9 @@ def main():
     p.add_argument("--beam", type=int, default=1)
     p.add_argument("--use-pallas", default="auto")
     p.add_argument("--quant", default="int8", help="encoder quantization: none|int8")
+    p.add_argument("--quant-granularity", default="channel", choices=["channel", "tensor"],
+                   help="int8 activation-scale granularity (channel folds "
+                        "per-channel scales into the kernels, models/infer.py)")
     p.add_argument("--fused-blocks", default="auto",
                    help="int8 fused Pallas block layers: auto|none|layer1,layer2,...")
     p.add_argument("--fused-tails", default="auto",

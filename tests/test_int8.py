@@ -164,6 +164,83 @@ def test_config_validates_quant():
         load_config(None, encoder_quant="fp4")
 
 
+def test_per_channel_scales_tighter_than_per_tensor():
+    """encoder_quant_granularity='channel': per-channel activation scales fold
+    into the kernels (models/infer.py::_acc_i8) — same conv program, strictly
+    better quantization resolution. The end-to-end carry error must not be
+    worse than per-tensor's (and is typically much tighter on real nets where
+    post-BN-fold channel ranges differ by orders of magnitude)."""
+    from adaptive_tpu.models.infer import calibrate_int8
+
+    params, state = R.init_resnet(jax.random.PRNGKey(5), "resnet18")
+    rng = np.random.default_rng(5)
+    # spread the BN scales so channels have very different dynamic ranges —
+    # the regime per-channel exists for
+    state = jax.tree.map(
+        lambda x: jnp.asarray(rng.uniform(0.2, 3.0, x.shape), jnp.float32), state
+    )
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    folded = fold_resnet(params, state, "resnet18")
+    fp = np.asarray(resnet_apply_folded(folded, x, "resnet18"))
+    errs = {}
+    for gran in ("tensor", "channel"):
+        scales = calibrate_int8(
+            {"resnet": params}, {"resnet": state}, x, "resnet18", granularity=gran
+        )
+        i8 = np.asarray(resnet_apply_folded_int8(folded, x, "resnet18", scales))
+        errs[gran] = np.abs(i8 - fp).mean() / (np.abs(fp).mean() + 1e-9)
+    assert errs["channel"] <= errs["tensor"] * 1.05, errs
+    assert errs["channel"] < 0.08, errs
+
+
+def test_per_channel_stem_s2d_bit_exact():
+    """The s2d stem rewrite stays bit-exact under per-channel scales: the
+    tiled scale vector folds identical factors onto the scattered taps and
+    zero taps stay zero, so _quant_w sees the same per-out-channel max."""
+    from adaptive_tpu.models.infer import calibrate_int8
+
+    params, state = R.init_resnet(jax.random.PRNGKey(5), "resnet18")
+    rng = np.random.default_rng(5)
+    state = jax.tree.map(
+        lambda x: jnp.asarray(rng.uniform(0.8, 1.2, x.shape), jnp.float32), state
+    )
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    scales = calibrate_int8(
+        {"resnet": params}, {"resnet": state}, x, "resnet18", granularity="channel"
+    )
+    assert all(getattr(v, "ndim", 0) == 1 for v in scales.values())
+    folded = fold_resnet(params, state, "resnet18")
+    base = np.asarray(resnet_apply_folded_int8(folded, x, "resnet18", scales))
+    s2d = np.asarray(
+        resnet_apply_folded_int8(folded, x, "resnet18", scales, stem_s2d=True)
+    )
+    np.testing.assert_array_equal(s2d, base)
+
+
+def test_per_channel_rejects_fused_kernels():
+    """The fused Pallas block/tail kernels take scalar carry scales; mixing
+    them with per-channel calibration must fail loudly."""
+    from adaptive_tpu.models.infer import calibrate_int8
+
+    params, state = R.init_resnet(jax.random.PRNGKey(0), "resnet18")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    scales = calibrate_int8(
+        {"resnet": params}, {"resnet": state}, x, "resnet18", granularity="channel"
+    )
+    folded = fold_resnet(params, state, "resnet18")
+    with pytest.raises(ValueError, match="per-channel"):
+        resnet_apply_folded_int8(
+            folded, x, "resnet18", scales, fused_layers=("layer3",)
+        )
+
+
+def test_config_validates_quant_granularity():
+    from adaptive_tpu.config import load_config
+
+    with pytest.raises(ValueError, match="granularity"):
+        load_config(None, encoder_quant_granularity="group")
+
+
 def test_int8_carry_close_to_fp(tiny_cf):
     """The static-scale carry path must track the exact folded forward within
     quantization noise END TO END. Regression for the zero-point padding bug:

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""int8 quality-gate ladder on real hardware (VALIDATION.md methodology).
+
+Trains a small-but-real model (ResNet-50 @ 224, bf16) on a synthetic COCO
+split, then scores the SAME checkpoint through each encoder-quant
+configuration with the full eval stack (greedy decode -> PTB tokenize ->
+BLEU/METEOR/ROUGE/CIDEr). The printed CIDEr deltas vs the exact-math bf16
+path are the quality evidence for shipping an int8 default
+(driver budget: |delta| < 0.1 CIDEr; real-COCO revalidation per RUNBOOK.md
+remains the production gate).
+
+Usage (TPU by default; ~20 min dominated by the single-core host):
+    python tools/int8_gate.py [--workdir /tmp/int8_gate] [--epochs 7]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", default="/tmp/int8_gate")
+    p.add_argument("--epochs", type=int, default=7)
+    p.add_argument("--images", type=int, default=512)
+    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--grad-accum", type=int, default=2)
+    p.add_argument("--skip-train", default="",
+                   help="path to an existing checkpoint dir: eval-only ladder")
+    args = p.parse_args()
+
+    from adaptive_tpu.config import load_config
+    from adaptive_tpu.data.coco_api import COCO
+    from adaptive_tpu.data.synthetic import make_synthetic_dataset
+    from adaptive_tpu.data.vocab import build_vocab
+    from adaptive_tpu.evalcap.coco_eval import coco_eval
+
+    data_dir = os.path.join(args.workdir, "data")
+    ann, resized = make_synthetic_dataset(
+        data_dir, num_images=args.images, captions_per_image=2,
+        image_size=256, seed=7,
+    )
+    vocab = build_vocab((a["caption"] for a in COCO(ann).anns.values()), threshold=1)
+    vocab_path = os.path.join(data_dir, "vocab.json")
+    vocab.save(vocab_path)
+
+    cf = load_config(
+        None,
+        experiment_path=os.path.join(args.workdir, "Experiments"),
+        vocab_path=vocab_path,
+        vocab_length=len(vocab),
+        resized_image_dir=resized,
+        train_anno_path=ann,
+        val_anno_path=ann,
+        train_eval_anno_path=ann,
+        atten_model_name="adaptive_attention",
+        encoder_backbone=args.backbone,
+        compute_dtype="bfloat16",
+        train_crop_size=224,
+        resized_image_size=256,
+        train_batch_size=args.batch,
+        train_grad_accum_steps=args.grad_accum,
+        eval_batch_size=128,
+        train_num_epochs=args.epochs,
+        opt_fine_tune_cnn_start_epoch=3,
+        train_evalOrnot=False,  # the ladder below is the evaluation
+        train_early_stop=False,
+        trainOrnot=True,
+    )
+
+    if args.skip_train:
+        ckpt = args.skip_train
+    else:
+        from adaptive_tpu.config import Experiment
+        from adaptive_tpu.training.train_loop import main_train
+
+        exp = Experiment(cf, tee_stdout=False)
+        cf = exp.setup()
+        try:
+            main_train(cf)
+        finally:
+            exp.teardown()
+        models_dir = os.path.join(cf.exp_dir, "trained_models")
+        ckpts = sorted(
+            (d for d in os.listdir(models_dir) if "_model-" in d),
+            key=lambda d: int(d.rsplit("-", 1)[1]),
+        )
+        ckpt = os.path.join(models_dir, ckpts[-1])
+    print(f"gate checkpoint: {ckpt}")
+
+    ladder = [
+        ("bf16 exact", dict(encoder_quant="none")),
+        ("int8 per-tensor carry", dict(encoder_quant="int8",
+                                       encoder_quant_granularity="tensor")),
+        ("int8 per-channel carry", dict(encoder_quant="int8",
+                                        encoder_quant_granularity="channel")),
+    ]
+    rows = []
+    for name, knobs in ladder:
+        c = cf.replace(valid_pretrained_model=ckpt, trainOrnot=False, **knobs)
+        cider = coco_eval(c, valid_mode=True)
+        rows.append((name, cider))
+        print(f"[gate] {name}: CIDEr {cider:.4f}")
+
+    base = rows[0][1]
+    print("\n| Encoder path | CIDEr | delta vs bf16 |")
+    print("|---|---|---|")
+    for name, cider in rows:
+        print(f"| {name} | {cider:.4f} | {cider - base:+.4f} |")
+    out = {n: c for n, c in rows}
+    out["checkpoint"] = ckpt
+    with open(os.path.join(args.workdir, "gate_results.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
