@@ -238,7 +238,10 @@ def _acc_i8(x_s8, p, x_scale, stride=1, pad=None):
     scale). p carries either a raw fp32 'kernel' (quantized here, inside the
     per-batch program) or a prepared {'wq','scale'} pair from
     prepare_encoder_inference (quantized once, offline — the decode program
-    then skips every weight pass)."""
+    then skips every weight pass). A bare kernel array is also accepted
+    (reference path of the fused-kernel parity tests)."""
+    if not isinstance(p, dict):
+        p = {"kernel": p}
     if "wq" in p:
         wq, sc = p["wq"], p["scale"]
     else:
@@ -287,6 +290,20 @@ def _stem_s2d_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
     wp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
     wp = wp.reshape(4, 2, 4, 2, Cin, Cout).transpose(0, 2, 1, 3, 4, 5)
     return wp.reshape(4, 4, 4 * Cin, Cout)
+
+
+def _stem_s2d_conv(p: Dict, s0):
+    """(conv dict with the s2d-rewritten 4x4 kernel, matching input scale).
+
+    _s2d packs channels (row, col, C) row-major, so a per-channel image scale
+    tiles 4x; zero taps stay zero under the scale fold, so the rewrite stays
+    bit-exact vs the 7x7 path in either granularity. The ONE owner of this
+    pairing — shared by the inline carry forward and
+    prepare_encoder_inference so the two paths cannot drift
+    (tests/test_infer.py::test_prepared_encoder_matches_inline)."""
+    s0k = (jnp.tile(jnp.asarray(s0, jnp.float32), 4)
+           if getattr(s0, "ndim", 0) >= 1 else s0)
+    return {**p, "kernel": _stem_s2d_kernel(p["kernel"])}, s0k
 
 
 # MEASURED NEGATIVE (round 3, VALIDATION.md): zero-point-128 asymmetric
@@ -438,22 +455,15 @@ def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict,
                 "stem_s2d flag does not match the prepared stem kernel; re-run "
                 "prepare_encoder_inference with the same stem_s2d setting"
             )
+        stem, s0x = p, None
     else:
-        use_s2d = stem_s2d and p["kernel"].shape[0] == 7
+        use_s2d = bool(stem_s2d) and p["kernel"].shape[0] == 7
+        stem, s0x = _stem_s2d_conv(p, s0) if use_s2d else (p, s0)
     if use_s2d:
-        # bit-exact 7x7/s2 -> s2d + 4x4/s1 rewrite (see _stem_s2d_kernel).
-        # _s2d packs channels (row, col, C) row-major, so a per-channel image
-        # scale tiles 4x; zero taps stay zero under the fold, so per-channel
-        # stays bit-exact vs the 7x7 path too.
-        if "wq" in p:
-            stem, s0k = p, None
-        else:
-            s0k = (jnp.tile(jnp.asarray(s0, jnp.float32), 4)
-                   if getattr(s0, "ndim", 0) >= 1 else s0)
-            stem = {"kernel": _stem_s2d_kernel(p["kernel"])}
-        acc, sc = _acc_i8(_s2d(xq), stem, s0k, 1, [(2, 1), (2, 1)])
+        # bit-exact 7x7/s2 -> s2d + 4x4/s1 rewrite (_stem_s2d_conv)
+        acc, sc = _acc_i8(_s2d(xq), stem, s0x, 1, [(2, 1), (2, 1)])
     else:
-        acc, sc = _acc_i8(xq, p, s0, 2, [(3, 3), (3, 3)])
+        acc, sc = _acc_i8(xq, stem, s0x, 2, [(3, 3), (3, 3)])
     y = jax.nn.relu(acc.astype(jnp.float32) * sc[None, None, None, :] + p["bias"])
     y_s8 = jax.lax.reduce_window(
         _requant(y, s_in), jnp.int8(-128), jax.lax.max,
@@ -622,13 +632,9 @@ def prepare_encoder_inference(
 
         stem = folded["conv1"]
         use_s2d = bool(stem_s2d) and stem["kernel"].shape[0] == 7
-        if use_s2d:
-            s0 = scales["conv1"]
-            s0k = (jnp.tile(jnp.asarray(s0, jnp.float32), 4)
-                   if getattr(s0, "ndim", 0) >= 1 else s0)
-            wq, sc = _quant_conv_weight(_stem_s2d_kernel(stem["kernel"]), s0k)
-        else:
-            wq, sc = _quant_conv_weight(stem["kernel"], scales["conv1"])
+        src, s0x = (_stem_s2d_conv(stem, scales["conv1"]) if use_s2d
+                    else (stem, scales["conv1"]))
+        wq, sc = _quant_conv_weight(src["kernel"], s0x)
         # NOTE: no explicit s2d marker — a bool leaf would be traced under
         # jit; the 4x4-vs-7x7 wq shape (static) carries the decision
         out: Dict[str, Any] = {"conv1": {

@@ -86,12 +86,11 @@ def main():
             main_train(cf)
         finally:
             exp.teardown()
-        models_dir = os.path.join(cf.exp_dir, "trained_models")
-        ckpts = sorted(
-            (d for d in os.listdir(models_dir) if "_model-" in d),
-            key=lambda d: int(d.rsplit("-", 1)[1]),
-        )
-        ckpt = os.path.join(models_dir, ckpts[-1])
+        from adaptive_tpu.training.checkpoint import find_latest_checkpoint
+
+        ckpt = find_latest_checkpoint(os.path.join(cf.exp_dir, "trained_models"))
+        if not ckpt:
+            raise RuntimeError(f"no checkpoint written under {cf.exp_dir}")
     print(f"gate checkpoint: {ckpt}")
 
     ladder = [
