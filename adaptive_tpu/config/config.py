@@ -145,6 +145,13 @@ class Config:
     # is the one-scale-per-conv fallback (required by the experimental fused
     # Pallas block/tail kernels).
     encoder_quant_granularity: str = "channel"  # channel|tensor
+    # Sequential per-channel bias correction at calibration time (match each
+    # conv's quantized pre-activation mean to the fp32 forward's on the
+    # calibration batch; models/infer.py::calibrate_int8_bias). Zero runtime
+    # cost, but MEASURED NEUTRAL on the trained-model gate (-0.045 vs -0.042
+    # CIDEr without, VALIDATION.md) — per-channel scales already remove the
+    # dominant systematic error, so this defaults off; revisit on real COCO.
+    encoder_quant_bias_correct: bool = False
     # Decode-time sentinel h_{t-1}: the reference sampler feeds h_{t-1}=0 at
     # every decode step (adaptive_attention.py:116-122 with seq_len==1). Keep
     # False for checkpoint-fidelity with the reference; True uses the true

@@ -37,6 +37,10 @@ class CaptionModel(NamedTuple):
     # baked into the jit). None -> dynamic per-batch scales. Produce with
     # models.infer.calibrate_int8 and attach via model._replace(int8_scales=...).
     int8_scales: Any = None
+    # Per-out-channel bias corrections from calibrate_int8_bias (zero runtime
+    # cost: they add into the conv biases); attached by calibrate_model when
+    # encoder_quant_bias_correct is on.
+    int8_bias_corr: Any = None
     # Layers whose identity bottleneck blocks run the fused Pallas block
     # kernel on the int8 carry path (ops/pallas/fused_block.py). "auto" picks
     # the measured-win set when use_pallas is on; tuple of layer names to
@@ -108,6 +112,7 @@ class CaptionModel(NamedTuple):
             quant=self.encoder_quant, scales=self.int8_scales,
             fused_layers=fused, fused_tails=tails, stem_s2d=s2d,
             prepared=None if prepared is None else prepared["encoder"],
+            bias_corr=self.int8_bias_corr,
         )
 
     def prepare_inference(self, params, state):
@@ -126,6 +131,7 @@ class CaptionModel(NamedTuple):
             # the fused Pallas experiments quantize from raw folded kernels
             # inside the decode program — prep then hoists only the BN fold
             quantize_weights=not (fused or tails),
+            bias_corr=self.int8_bias_corr,
         )
         dec = cast_floating(params["decoder"], self.compute_dtype)
         return {

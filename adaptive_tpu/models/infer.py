@@ -170,7 +170,7 @@ def _conv_i8(x, p, stride=1, out_dtype=jnp.bfloat16, x_scale=None, pad=None):
 def resnet_apply_folded_int8(
     folded: Dict, x: jnp.ndarray, arch: str, scales: Optional[Dict] = None,
     fused_layers=(), fused_tails=(), interpret: bool = False,
-    stem_s2d: bool = False,
+    stem_s2d: bool = False, bias_corr: Optional[Dict] = None,
 ) -> jnp.ndarray:
     """BN-folded int8-conv inference forward.
 
@@ -206,9 +206,16 @@ def resnet_apply_folded_int8(
             "the fused Pallas block/tail kernels quantize from raw folded "
             "kernels; pass the unprepared tree (skip prepare_encoder_inference)"
         )
+    if (fused_layers or fused_tails) and bias_corr:
+        raise ValueError(
+            "int8 bias correction is not applied inside the fused Pallas "
+            "block/tail kernels; use encoder_quant_bias_correct=False with "
+            "fused layers/tails"
+        )
     if scales is not None:
         return _resnet_int8_carry(folded, x, arch, scales, fused_layers,
-                                  fused_tails, interpret, stem_s2d)
+                                  fused_tails, interpret, stem_s2d,
+                                  bias_corr=bias_corr)
     dt = x.dtype
 
     def conv(name, xx, p, stride, pad):
@@ -402,7 +409,9 @@ def _fused_tail_pair(p: Dict, next_p: Dict, y_s8_in: jnp.ndarray,
 def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict,
                        fused_layers=(), fused_tails=(),
                        interpret: bool = False,
-                       stem_s2d: bool = False) -> jnp.ndarray:
+                       stem_s2d: bool = False, bias_corr: Optional[Dict] = None,
+                       fp_means: Optional[Dict] = None,
+                       collect_into: Optional[Dict] = None) -> jnp.ndarray:
     """int8-activation-carry forward: inter-block tensors stay s8+scale.
 
     Same traversal order/naming as _folded_forward (so calibrate_int8's scale
@@ -435,6 +444,30 @@ def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict,
             f"(e.g. {missing[:3]}); recalibrate with calibrate_int8"
         )
 
+    if "wq" in folded["conv1"]:
+        bias_corr = None  # prepare_encoder_inference already folded it in
+
+    def pre(name, x_s8, x_scale, cp, strd=1, pad=None):
+        """int8 conv -> fp32 PRE-ACTIVATION: acc*scale + bias (+correction).
+
+        bias_corr: per-out-channel mean-error corrections from
+        calibrate_int8_bias, added into the bias (the prepared path folds
+        them offline — same association, bit-identical). fp_means
+        (calibration only): measure this conv's per-channel mean against the
+        true fp32 forward's, correct on the fly, and record the delta in
+        collect_into — sequential correction, so downstream convs calibrate
+        against already-corrected activations."""
+        acc, sc = _acc_i8(x_s8, cp, x_scale, strd, pad)
+        bias = cp["bias"]
+        if bias_corr is not None and name in bias_corr:
+            bias = bias + jnp.asarray(bias_corr[name], jnp.float32)
+        y = acc.astype(jnp.float32) * sc[None, None, None, :] + bias
+        if fp_means is not None:
+            d = fp_means[name] - jnp.mean(y, axis=(0, 1, 2))
+            collect_into[name] = d
+            y = y + d
+        return y
+
     # stem: conv1 + relu, quantize BEFORE the maxpool, pool in the s8 domain.
     # max commutes with the monotone requant, and post-relu the global max
     # survives 3x3/s2 pooling (every element is covered by a window), so
@@ -461,10 +494,9 @@ def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict,
         stem, s0x = _stem_s2d_conv(p, s0) if use_s2d else (p, s0)
     if use_s2d:
         # bit-exact 7x7/s2 -> s2d + 4x4/s1 rewrite (_stem_s2d_conv)
-        acc, sc = _acc_i8(_s2d(xq), stem, s0x, 1, [(2, 1), (2, 1)])
+        y = jax.nn.relu(pre("conv1", _s2d(xq), s0x, stem, 1, [(2, 1), (2, 1)]))
     else:
-        acc, sc = _acc_i8(xq, stem, s0x, 2, [(3, 3), (3, 3)])
-    y = jax.nn.relu(acc.astype(jnp.float32) * sc[None, None, None, :] + p["bias"])
+        y = jax.nn.relu(pre("conv1", xq, s0x, stem, 2, [(3, 3), (3, 3)]))
     y_s8 = jax.lax.reduce_window(
         _requant(y, s_in), jnp.int8(-128), jax.lax.max,
         (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)]
@@ -493,9 +525,7 @@ def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict,
             continue
 
         def mid(name, z_s8, z_scale, cp, strd):  # conv + rescale + bias + relu
-            acc, csc = _acc_i8(z_s8, cp, z_scale, strd)
-            z = jax.nn.relu(acc.astype(jnp.float32) * csc[None, None, None, :] + cp["bias"])
-            return z
+            return jax.nn.relu(pre(name, z_s8, z_scale, cp, strd))
 
         if block_type == "bottleneck":
             s2 = scales[f"{nm}.conv2"]
@@ -515,17 +545,14 @@ def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict,
                 )
                 s_in = s_out
                 continue
-            acc, csc = _acc_i8(_requant(z, s3), p["conv3"], s3)
-            tail = acc.astype(jnp.float32) * csc[None, None, None, :] + p["conv3"]["bias"]
+            tail = pre(f"{nm}.conv3", _requant(z, s3), s3, p["conv3"])
         else:
             z = mid(f"{nm}.conv1", y_s8, s_in, p["conv1"], stride)
             s2 = scales[f"{nm}.conv2"]
-            acc, csc = _acc_i8(_requant(z, s2), p["conv2"], s2)
-            tail = acc.astype(jnp.float32) * csc[None, None, None, :] + p["conv2"]["bias"]
+            tail = pre(f"{nm}.conv2", _requant(z, s2), s2, p["conv2"])
 
         if "downsample" in p:
-            dacc, dsc = _acc_i8(y_s8, p["downsample"], s_in, stride)
-            shortcut = dacc.astype(jnp.float32) * dsc[None, None, None, :] + p["downsample"]["bias"]
+            shortcut = pre(f"{nm}.downsample", y_s8, s_in, p["downsample"], stride)
             s_sc = scales.get(f"{nm}.downsample_out")
             if s_sc is not None:
                 # keep the shortcut branch s8 too: otherwise the tail epilogue
@@ -557,7 +584,12 @@ def calibrate_model(model, cf, params, state, images_u8):
         params["encoder"], state, calib, cf.encoder_backbone,
         granularity=getattr(cf, "encoder_quant_granularity", "channel"),
     )
-    return model._replace(int8_scales=scales)
+    corr = None
+    if getattr(cf, "encoder_quant_bias_correct", False):
+        corr = calibrate_int8_bias(
+            params["encoder"], state, calib, cf.encoder_backbone, scales
+        )
+    return model._replace(int8_scales=scales, int8_bias_corr=corr)
 
 
 def calibrate_int8(enc_params: Dict, state: Dict, images, arch: str,
@@ -605,10 +637,44 @@ def calibrate_int8(enc_params: Dict, state: Dict, images, arch: str,
     }
 
 
+def calibrate_int8_bias(enc_params: Dict, state: Dict, images, arch: str,
+                        scales: Dict) -> Dict[str, np.ndarray]:
+    """Sequential int8 bias correction (Nagel et al. 2019 style, zero runtime
+    cost): per conv, the per-out-channel mean of the quantized pre-activation
+    is matched to the exact fp32 forward's mean on the calibration batch.
+
+    Pass 1 records the fp32 means; pass 2 walks the ACTUAL int8-carry forward
+    (same code path as inference, _resnet_int8_carry's `pre`), corrects each
+    conv on the fly, and records the deltas — so every conv is calibrated
+    against already-corrected upstream activations. Returns {conv_name:
+    np.float32 [Cout]} to add into the conv biases (calibrate_model attaches
+    them; prepare_encoder_inference folds them in offline)."""
+
+    @jax.jit
+    def run(enc_params, state, images):
+        folded = fold_resnet(enc_params["resnet"], state["resnet"], arch)
+        xf = images.astype(jnp.float32)
+        means: Dict[str, jnp.ndarray] = {}
+
+        def conv(name, xx, p, stride, pad):
+            y = _plain_conv(name, xx, p, stride, pad)
+            means[name] = jnp.mean(y.astype(jnp.float32), axis=(0, 1, 2))
+            return y
+
+        _folded_forward(folded, xf, arch, conv)
+        collected: Dict[str, jnp.ndarray] = {}
+        _resnet_int8_carry(folded, xf, arch, scales,
+                           fp_means=means, collect_into=collected)
+        return collected
+
+    out = jax.device_get(run(enc_params, state, images))
+    return {k: np.asarray(v, np.float32) for k, v in out.items()}
+
+
 def prepare_encoder_inference(
     enc_params: Dict, state: Dict, arch: str, dtype, quant: str = "none",
     scales: Optional[Dict] = None, stem_s2d: bool = False,
-    quantize_weights: bool = True,
+    quantize_weights: bool = True, bias_corr: Optional[Dict] = None,
 ) -> Dict:
     """Offline inference weight preparation — jit once per checkpoint.
 
@@ -626,9 +692,17 @@ def prepare_encoder_inference(
         block_type, stages = R.RESNET_SPECS[arch]
         n_convs = 3 if block_type == "bottleneck" else 2
 
+        def prep_bias(p, key):
+            b = p["bias"].astype(jnp.float32)
+            if bias_corr is not None and key in bias_corr:
+                # calibrate_int8_bias mean-error correction, folded offline
+                # (the inline path adds it with the same association)
+                b = b + jnp.asarray(bias_corr[key], jnp.float32)
+            return b
+
         def prep(p, key):
             wq, sc = _quant_conv_weight(p["kernel"], scales[key])
-            return {"wq": wq, "scale": sc, "bias": p["bias"].astype(jnp.float32)}
+            return {"wq": wq, "scale": sc, "bias": prep_bias(p, key)}
 
         stem = folded["conv1"]
         use_s2d = bool(stem_s2d) and stem["kernel"].shape[0] == 7
@@ -638,8 +712,7 @@ def prepare_encoder_inference(
         # NOTE: no explicit s2d marker — a bool leaf would be traced under
         # jit; the 4x4-vs-7x7 wq shape (static) carries the decision
         out: Dict[str, Any] = {"conv1": {
-            "wq": wq, "scale": sc,
-            "bias": stem["bias"].astype(jnp.float32),
+            "wq": wq, "scale": sc, "bias": prep_bias(stem, "conv1"),
         }}
         for li, n_blocks in enumerate(stages):
             blocks = []
@@ -669,6 +742,7 @@ def encoder_apply_inference(
     enc_params: Dict, state: Dict, images: jnp.ndarray, arch: str, dtype,
     quant: str = "none", scales: Optional[Dict] = None, fused_layers=(),
     fused_tails=(), stem_s2d: bool = False, prepared: Optional[Dict] = None,
+    bias_corr: Optional[Dict] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Folded, dtype-cast encoder forward: images (preprocessed float NHWC) ->
     (V, v_g, h0, c0). Matches encoder_apply(train=False); quant='int8' uses
@@ -692,7 +766,7 @@ def encoder_apply_inference(
     if quant == "int8":
         A = resnet_apply_folded_int8(
             folded, images.astype(dtype), arch, scales, fused_layers,
-            fused_tails, stem_s2d=stem_s2d,
+            fused_tails, stem_s2d=stem_s2d, bias_corr=bias_corr,
         )
     else:
         A = resnet_apply_folded(folded, images.astype(dtype), arch)

@@ -260,3 +260,135 @@ def test_int8_carry_close_to_fp(tiny_cf):
     i8 = np.asarray(resnet_apply_folded_int8(folded, x, "resnet18", scales))
     rel = np.abs(i8 - fp).mean() / (np.abs(fp).mean() + 1e-9)
     assert rel < 0.08, rel
+
+
+def _rand_resnet18(seed=5, bn_lo=0.8, bn_hi=1.2):
+    params, state = R.init_resnet(jax.random.PRNGKey(seed), "resnet18")
+    rng = np.random.default_rng(seed)
+    state = jax.tree.map(
+        lambda x: jnp.asarray(rng.uniform(bn_lo, bn_hi, x.shape), jnp.float32), state
+    )
+    return params, state, rng
+
+
+def test_bias_correction_matches_fp_means():
+    """calibrate_int8_bias's defining invariant: after folding the returned
+    corrections into the biases, a second calibration pass finds ~zero
+    residual mean error at every conv (the quantized means now match the
+    fp32 forward's on the calibration batch)."""
+    from adaptive_tpu.models.infer import calibrate_int8, calibrate_int8_bias
+
+    params, state, rng = _rand_resnet18()
+    x = jnp.asarray(rng.standard_normal((4, 64, 64, 3)), jnp.float32)
+    enc, st = {"resnet": params}, {"resnet": state}
+    scales = calibrate_int8(enc, st, x, "resnet18", granularity="channel")
+    corr = calibrate_int8_bias(enc, st, x, "resnet18", scales)
+    assert set(corr) == {k for k in scales if not k.endswith("downsample_out")}
+    assert all(np.isfinite(v).all() for v in corr.values())
+
+    # fold corrections into the raw (unfolded) conv biases via the folded
+    # tree route: rebuild params with bn bias shifted is fiddly — instead
+    # rerun the collection with bias_corr applied through the public path
+    # and assert the residual deltas vanish.
+    from adaptive_tpu.models.infer import (_folded_forward, _plain_conv,
+                                           _resnet_int8_carry, fold_resnet)
+
+    folded = fold_resnet(params, state, "resnet18")
+    means = {}
+
+    def conv(name, xx, p, stride, pad):
+        y = _plain_conv(name, xx, p, stride, pad)
+        means[name] = jnp.mean(y.astype(jnp.float32), axis=(0, 1, 2))
+        return y
+
+    _folded_forward(folded, x, "resnet18", conv)
+    residual = {}
+    corrected = {
+        k: ({**v, "bias": v["bias"] + corr[k]} if k in corr else v)
+        for k, v in folded.items() if k == "conv1"
+    }
+    corrected.update({
+        lk: [
+            {ck: ({**cv, "bias": cv["bias"] + corr[f"{lk}.{bi}.{ck}"]}
+                  if f"{lk}.{bi}.{ck}" in corr else cv)
+             for ck, cv in blk.items()}
+            for bi, blk in enumerate(folded[lk])
+        ]
+        for lk in folded if lk.startswith("layer")
+    })
+    _resnet_int8_carry(corrected, x, "resnet18", scales,
+                       fp_means=means, collect_into=residual)
+    for k, v in residual.items():
+        scale_mag = float(np.mean(np.abs(np.asarray(means[k])))) + 1e-3
+        assert float(np.max(np.abs(np.asarray(v)))) < 0.05 * scale_mag + 1e-3, (
+            k, np.max(np.abs(np.asarray(v))))
+
+
+def test_bias_correction_improves_feature_error():
+    """End to end on the calibration batch, bias correction must not make the
+    int8 features worse (and typically improves them)."""
+    from adaptive_tpu.models.infer import calibrate_int8, calibrate_int8_bias
+
+    params, state, rng = _rand_resnet18(seed=6, bn_lo=0.2, bn_hi=3.0)
+    x = jnp.asarray(rng.standard_normal((4, 64, 64, 3)), jnp.float32)
+    enc, st = {"resnet": params}, {"resnet": state}
+    scales = calibrate_int8(enc, st, x, "resnet18", granularity="channel")
+    corr = calibrate_int8_bias(enc, st, x, "resnet18", scales)
+    folded = fold_resnet(params, state, "resnet18")
+    fp = np.asarray(resnet_apply_folded(folded, x, "resnet18"))
+    base = np.asarray(resnet_apply_folded_int8(folded, x, "resnet18", scales))
+    fixed = np.asarray(
+        resnet_apply_folded_int8(folded, x, "resnet18", scales, bias_corr=corr)
+    )
+    err_base = np.abs(base - fp).mean()
+    err_fixed = np.abs(fixed - fp).mean()
+    assert err_fixed <= err_base * 1.02, (err_fixed, err_base)
+
+
+def test_prepared_matches_inline_with_bias_corr(tiny_cf):
+    """Offline-folded corrections (prepare_encoder_inference) must equal the
+    inline bias_corr path bit-for-bit."""
+    from adaptive_tpu.models.infer import (calibrate_int8, calibrate_int8_bias,
+                                           encoder_apply_inference,
+                                           prepare_encoder_inference)
+
+    model = build_model(tiny_cf)
+    params, state = model.init(jax.random.PRNGKey(3))
+    enc, st = params["encoder"], state
+    rng = np.random.default_rng(4)
+    images = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    arch = tiny_cf.encoder_backbone
+    scales = calibrate_int8(enc, st, images, arch, granularity="channel")
+    corr = calibrate_int8_bias(enc, st, images, arch, scales)
+    for s2d in (False, True):
+        inline = encoder_apply_inference(
+            enc, st, images, arch, model.compute_dtype, quant="int8",
+            scales=scales, stem_s2d=s2d, bias_corr=corr,
+        )
+        prepared = prepare_encoder_inference(
+            enc, st, arch, model.compute_dtype, quant="int8", scales=scales,
+            stem_s2d=s2d, bias_corr=corr,
+        )
+        hoisted = encoder_apply_inference(
+            None, None, images, arch, model.compute_dtype, quant="int8",
+            scales=scales, stem_s2d=s2d, prepared=prepared, bias_corr=corr,
+        )
+        for a, b in zip(inline, hoisted):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bias_corr_rejects_fused_kernels():
+    from adaptive_tpu.models.infer import calibrate_int8, calibrate_int8_bias
+
+    params, state, rng = _rand_resnet18(seed=0)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    scales = calibrate_int8({"resnet": params}, {"resnet": state}, x, "resnet18",
+                            granularity="tensor")
+    corr = calibrate_int8_bias({"resnet": params}, {"resnet": state}, x,
+                               "resnet18", scales)
+    folded = fold_resnet(params, state, "resnet18")
+    with pytest.raises(ValueError, match="bias correction"):
+        resnet_apply_folded_int8(
+            folded, x, "resnet18", scales, fused_layers=("layer3",),
+            bias_corr=corr,
+        )

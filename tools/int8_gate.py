@@ -96,9 +96,14 @@ def main():
     ladder = [
         ("bf16 exact", dict(encoder_quant="none")),
         ("int8 per-tensor carry", dict(encoder_quant="int8",
-                                       encoder_quant_granularity="tensor")),
+                                       encoder_quant_granularity="tensor",
+                                       encoder_quant_bias_correct=False)),
         ("int8 per-channel carry", dict(encoder_quant="int8",
-                                        encoder_quant_granularity="channel")),
+                                        encoder_quant_granularity="channel",
+                                        encoder_quant_bias_correct=False)),
+        ("int8 per-channel + bias-corr", dict(encoder_quant="int8",
+                                              encoder_quant_granularity="channel",
+                                              encoder_quant_bias_correct=True)),
     ]
     rows = []
     for name, knobs in ladder:
