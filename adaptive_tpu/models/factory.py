@@ -93,9 +93,10 @@ class CaptionModel(NamedTuple):
             tails = ()
         s2d = self.int8_stem_s2d
         if s2d == "auto":
-            # not yet measured a win on-chip; flip here if the bench ladder
-            # does (bench.py --stem-s2d on)
-            s2d = False
+            # measured win with prepared weights + per-channel scales:
+            # 8,684 vs 8,648 captions/s (3-run means, batch 1024, v5e —
+            # VALIDATION.md round-3). Bit-exact rewrite, so auto is on.
+            s2d = True
         return fused, tails, bool(s2d)
 
     def encode_inference(self, params, state, images, prepared=None):
