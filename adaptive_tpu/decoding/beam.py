@@ -37,7 +37,7 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
     eos = cf.decode_eos_token
     size = cf.train_crop_size
     sentinel_prev = cf.sampler_sentinel_uses_prev_hidden
-    prepare = prepare_cached(model)
+    prepare = prepare_cached(model, with_head=False)  # beam never reads the greedy head
 
     @jax.jit
     def decode_prepared(prepared, images_u8) -> BeamOutput:

@@ -32,12 +32,14 @@ class GreedyOutput(NamedTuple):
     beta: jnp.ndarray       # [B, L] sentinel gate (zeros for non-adaptive)
 
 
-def prepare_cached(model):
+def prepare_cached(model, with_head: bool = True):
     """Per-checkpoint inference-weight prep (model.prepare_inference, jitted)
     memoized on the (params, state) object identities: a serving/bench loop
     pays it once, a per-epoch eval pays it once per checkpoint. The strong
-    refs in the cache entry keep the ids stable."""
-    prep = jax.jit(model.prepare_inference)
+    refs in the cache entry keep the ids stable; call .clear() to release
+    the prepared tree's device memory (train_loop does after each per-epoch
+    eval — the next epoch's params re-prep anyway)."""
+    prep = jax.jit(partial(model.prepare_inference, with_head=with_head))
     cache = []
 
     def get(params, state):
@@ -48,13 +50,17 @@ def prepare_cached(model):
             # called under an outer jit (export.py bakes weights in; ad-hoc
             # jitted harnesses): run the prep inline in that trace — same
             # math, just not hoisted — and never cache tracers
-            return model.prepare_inference(params, state)
+            return model.prepare_inference(params, state, with_head=with_head)
         if not (cache and cache[0] is params and cache[1] is state):
             get.misses += 1
             cache[:] = [params, state, prep(params, state)]
         return cache[2]
 
+    def clear():
+        cache[:] = []
+
     get.misses = 0
+    get.clear = clear
     return get
 
 

@@ -116,13 +116,15 @@ class CaptionModel(NamedTuple):
             bias_corr=self.int8_bias_corr,
         )
 
-    def prepare_inference(self, params, state):
+    def prepare_inference(self, params, state, with_head: bool = True):
         """Offline per-checkpoint weight preparation for the decode jits:
         {'encoder': prepare_encoder_inference tree, 'decoder': compute-dtype
         decoder params, 'head': padded greedy vocab head or None}. The decode
         programs consume this instead of re-deriving the BN fold / int8
         quantization / dtype casts every batch (models/infer.py). jit it —
-        one compiled program per checkpoint."""
+        one compiled program per checkpoint. with_head=False skips the
+        padded greedy head (beam decoding never reads it — ~10 MB at COCO
+        vocab)."""
         from adaptive_tpu.models.infer import cast_floating, prepare_encoder_inference
 
         fused, tails, s2d = self._resolved_fusion()
@@ -138,15 +140,8 @@ class CaptionModel(NamedTuple):
         return {
             "encoder": enc,
             "decoder": dec,
-            "head": self.prepare_greedy_head({"decoder": dec}),
+            "head": self.prepare_greedy_head({"decoder": dec}) if with_head else None,
         }
-
-    def decoder_inference_params(self, params):
-        """Decoder subtree cast to the compute dtype (halves HBM streaming of
-        the vocab head in the decode scan)."""
-        from adaptive_tpu.models.infer import cast_floating
-
-        return {**params, "decoder": cast_floating(params["decoder"], self.compute_dtype)}
 
     # --------------------------------------------------------------- forward
     def forward(self, params, state, images, captions, train: bool = False):

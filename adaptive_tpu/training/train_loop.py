@@ -249,6 +249,11 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
                 {"train": cider_train_eval, "valid": cider},
                 epoch,
             )
+            if hasattr(eval_decoder, "prepare"):
+                # release this epoch's prepared weight tree (it is stale the
+                # moment training resumes; holding it would pin ~a full
+                # compute-dtype encoder copy in HBM through the next epoch)
+                eval_decoder.prepare.clear()
             if cider > best_cider:
                 best_cider, best_epoch = cider, epoch
             if early_stop_Ornot(cf, cider_scores, best_cider):

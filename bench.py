@@ -46,6 +46,10 @@ import numpy as np
 def _sync(x) -> float:
     # np.asarray on a scalar is the only reliable device sync on this rig
     # (block_until_ready returns early through the axon tunnel), CLAUDE.md.
+    # Non-scalars reduce ON DEVICE first: a 4-byte fetch instead of dragging
+    # the array over the ~3 MB/s download path.
+    if getattr(x, "ndim", 0):
+        x = x.sum()
     return float(np.asarray(x))
 
 
@@ -95,12 +99,11 @@ def _make_decode_step(args):
 
     # decode is called eagerly (NOT wrapped in an outer jit) so its
     # per-checkpoint weight prep (decoding/greedy.py::prepare_cached) runs
-    # once, not per batch; the scalar sum is a separate tiny program used
-    # only as the sync handle.
-    sum_ids = jax.jit(jnp.sum)
-
+    # once, not per batch. ONE dispatch per timed iteration: the returned
+    # ids array is the sync handle (_sync reduces it on device — the
+    # reduction dispatch happens once at sync time, not per iter).
     def step(imgs):
-        return sum_ids(decode(params, state, imgs).ids)
+        return decode(params, state, imgs).ids
 
     return step, images
 

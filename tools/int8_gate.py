@@ -105,9 +105,14 @@ def main():
                                               encoder_quant_granularity="channel",
                                               encoder_quant_bias_correct=True)),
     ]
+    # eval artifacts (val_results/*.json) go under the workdir, not the CWD —
+    # --skip-train runs never pass through Experiment.setup()
+    eval_dir = os.path.join(args.workdir, "gate_evals")
+    os.makedirs(eval_dir, exist_ok=True)
     rows = []
     for name, knobs in ladder:
-        c = cf.replace(valid_pretrained_model=ckpt, trainOrnot=False, **knobs)
+        c = cf.replace(valid_pretrained_model=ckpt, trainOrnot=False,
+                       exp_dir=eval_dir, **knobs)
         cider = coco_eval(c, valid_mode=True)
         rows.append((name, cider))
         print(f"[gate] {name}: CIDEr {cider:.4f}")
