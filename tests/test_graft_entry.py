@@ -7,9 +7,12 @@ an n-device virtual CPU platform (jax.config.update + XLA_FLAGS) or re-exec
 in a subprocess. These tests exercise both entry paths the driver can hit.
 """
 
+import pytest
 import os
 import subprocess
 import sys
+
+pytestmark = pytest.mark.slow  # heavyweight e2e; quick pass skips via -m 'not slow'
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -201,6 +201,8 @@ from adaptive_tpu.data.vocab import Vocabulary
 from adaptive_tpu.evalcap.coco_eval import decode_split
 from adaptive_tpu.models.factory import build_model
 
+pytestmark = pytest.mark.slow  # heavyweight e2e; quick pass skips via -m 'not slow'
+
 ws = os.environ["WS"]
 vocab = Vocabulary.load(os.path.join(ws, "vocab.json"))
 cf = Config(

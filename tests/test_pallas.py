@@ -230,6 +230,7 @@ def test_fused_block_bit_parity(B, W, C, M):
     assert (d != 0).mean() < 2e-3, (d != 0).mean()
 
 
+@pytest.mark.slow
 def test_fused_block_carry_integration():
     """Full int8-carry forward with fused_layers on ~= off; layers whose
     grouping can't align (pick_group=0) silently fall back. Tolerance covers

@@ -88,6 +88,7 @@ def trained(synth):
     return params, state
 
 
+@pytest.mark.slow
 def test_overfit_loss_decreases_and_e2e_eval(synth, trained):
     cf, vocab, ann_path = synth
     params, state = trained

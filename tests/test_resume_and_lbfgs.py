@@ -12,6 +12,8 @@ import pytest
 from adaptive_tpu.models.factory import build_model, get_model
 from adaptive_tpu.training.optim import get_lr, make_dual_optimizer
 
+pytestmark = pytest.mark.slow  # heavyweight e2e; quick pass skips via -m 'not slow'
+
 
 def _batch(cf, B=4, T=6, seed=0):
     rng = np.random.default_rng(seed)

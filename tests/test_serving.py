@@ -120,6 +120,7 @@ def test_http_front_end(service):
         server.server_close()
 
 
+@pytest.mark.slow
 def test_int8_serving_requires_and_uses_calibration(tiny_cf):
     """encoder_quant='int8' without calibration images fails loudly; with
     them, the service decodes through the static-PTQ encoder."""

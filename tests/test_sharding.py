@@ -51,6 +51,7 @@ def test_param_sharding_skips_indivisible():
     assert rules["decoder"]["embed"].spec == P()
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs_and_matches_single_device(tiny_cf):
     """One SPMD train step on a (4,2) mesh == the same step on one device."""
     from adaptive_tpu.models.factory import build_model
@@ -122,6 +123,7 @@ def test_zero1_opt_state_sharding_rules():
     assert rules["count"].spec == P()
 
 
+@pytest.mark.slow
 def test_zero1_train_step_matches_replicated(tiny_cf):
     """ZeRO-1 moments sharded over 'data': identical updates, sharded state."""
     from adaptive_tpu.models.factory import build_model
@@ -220,6 +222,7 @@ def test_coco_eval_engages_mesh_sharding(tmp_path, tiny_cf):
     assert np.isfinite(cider)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 

@@ -12,6 +12,8 @@ from adaptive_tpu.data.synthetic import make_synthetic_dataset
 from adaptive_tpu.data.vocab import build_vocab
 from adaptive_tpu.training import main_train
 
+pytestmark = pytest.mark.slow  # heavyweight e2e; quick pass skips via -m 'not slow'
+
 
 def test_main_train_with_mesh(tmp_path, tiny_cf, capsys):
     assert len(jax.devices()) == 8

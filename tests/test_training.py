@@ -205,6 +205,7 @@ def test_checkpoint_roundtrip(tmp_path, tiny_cf, tiny_model):
     assert epoch_from_filename("x/cider-0.9000_model-21.pkl") == 21
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_monolithic(tiny_cf):
     """accum=2 step == accum=1 step on the same batch when the per-microbatch
     RNG folding is accounted for: we compare against a manual combination of
