@@ -103,6 +103,112 @@ class COCO:
     def loadCats(self, ids: Union[int, Iterable[int]]) -> List[dict]:
         return [self.cats[i] for i in _as_list(ids)]
 
+    # ------------------------------------------------------------------ misc
+    def info(self):
+        """Print the annotation file's info block (coco.py:121-127)."""
+        for k, v in self.dataset.get("info", {}).items():
+            print(f"{k}: {v}")
+
+    def showAnns(self, anns: List[dict]):
+        """Render annotations onto the current matplotlib axes (coco.py:233-295).
+
+        Captions print; polygons/RLE masks draw translucent patches; keypoint
+        annotations draw the category skeleton. matplotlib is imported lazily
+        so headless pipelines never pay for it.
+        """
+        if not anns:
+            return 0
+        if "caption" in anns[0]:
+            for a in anns:
+                print(a["caption"])
+            return
+        if not ("segmentation" in anns[0] or "keypoints" in anns[0]):
+            raise Exception("datasetType not supported")
+        import numpy as np
+        import matplotlib.pyplot as plt
+        from matplotlib.collections import PatchCollection
+        from matplotlib.patches import Polygon
+
+        ax = plt.gca()
+        ax.set_autoscale_on(False)
+        patches, tints = [], []
+        for a in anns:
+            tint = (np.random.random(3) * 0.6 + 0.4).tolist()
+            seg = a.get("segmentation")
+            if isinstance(seg, list):
+                for poly in seg:
+                    pts = np.asarray(poly, float).reshape(-1, 2)
+                    patches.append(Polygon(pts))
+                    tints.append(tint)
+            elif isinstance(seg, dict):
+                from adaptive_tpu.native import mask as maskUtils
+
+                m = maskUtils.decode(self.annToRLE(a))
+                mask_tint = (
+                    np.array([2.0, 166.0, 101.0]) / 255
+                    if a.get("iscrowd") == 1
+                    else np.random.random(3)
+                )
+                overlay = np.empty(m.shape + (4,))
+                overlay[..., :3] = mask_tint
+                overlay[..., 3] = m * 0.5
+                ax.imshow(overlay)
+            if isinstance(a.get("keypoints"), list):
+                skeleton = np.asarray(
+                    self.loadCats(a["category_id"])[0]["skeleton"]
+                ) - 1
+                kp = np.asarray(a["keypoints"])
+                x, y, v = kp[0::3], kp[1::3], kp[2::3]
+                for bone in skeleton:
+                    if np.all(v[bone] > 0):
+                        plt.plot(x[bone], y[bone], linewidth=3, color=tint)
+                for vis, edge in ((0, "k"), (1, tint)):
+                    sel = v > vis
+                    plt.plot(
+                        x[sel], y[sel], "o", markersize=8,
+                        markerfacecolor=tint, markeredgecolor=edge,
+                        markeredgewidth=2,
+                    )
+        ax.add_collection(
+            PatchCollection(patches, facecolor=tints, linewidths=0, alpha=0.4)
+        )
+        ax.add_collection(
+            PatchCollection(patches, facecolor="none", edgecolors=tints, linewidths=2)
+        )
+
+    def download(self, tarDir: Optional[str] = None, imgIds: Iterable[int] = ()):
+        """Fetch image files by their recorded URLs (coco.py:358-380)."""
+        if tarDir is None:
+            print("Please specify target directory")
+            return -1
+        from urllib.request import urlretrieve
+
+        imgs = self.loadImgs(imgIds) if _as_list(imgIds) else list(self.imgs.values())
+        os.makedirs(tarDir, exist_ok=True)
+        for i, img in enumerate(imgs):
+            tic = time.time()
+            fname = os.path.join(tarDir, img["file_name"])
+            if not os.path.exists(fname):
+                urlretrieve(img["coco_url"], fname)
+            print(f"downloaded {i}/{len(imgs)} images (t={time.time() - tic:0.1f}s)")
+
+    def loadNumpyAnnotations(self, data) -> List[dict]:
+        """[N,7] ndarray rows (imageID,x1,y1,w,h,score,class) -> result dicts
+        (coco.py:382-403)."""
+        import numpy as np
+
+        data = np.asarray(data)
+        assert data.ndim == 2 and data.shape[1] == 7, "expected an [N,7] array"
+        return [
+            {
+                "image_id": int(row[0]),
+                "bbox": [row[1], row[2], row[3], row[4]],
+                "score": row[5],
+                "category_id": int(row[6]),
+            }
+            for row in data
+        ]
+
     # ----------------------------------------------------------------- masks
     def annToRLE(self, ann: dict):
         """Annotation segmentation (polygon | uncompressed RLE | RLE) -> RLE

@@ -417,6 +417,12 @@ class COCOeval:
             )
         return self.stats
 
+    def __str__(self):
+        # reference quirk kept: printing a COCOeval runs summarize()
+        # (cocoeval.py:496-497)
+        self.summarize()
+        return ""
+
 
 def _to_rle(ann: dict, coco) -> dict:
     segm = ann["segmentation"]

@@ -40,3 +40,83 @@ def test_load_res(tiny_coco, tmp_path):
 def test_load_res_rejects_unknown_image(tiny_coco):
     with pytest.raises(AssertionError):
         tiny_coco.loadRes([{"image_id": 999, "caption": "x"}])
+
+
+def test_info_prints_dataset_info(tmp_path, capsys):
+    data = {
+        "info": {"description": "tiny", "version": "1.0"},
+        "images": [],
+        "annotations": [],
+    }
+    p = tmp_path / "anno.json"
+    p.write_text(json.dumps(data))
+    COCO(str(p)).info()
+    out = capsys.readouterr().out
+    assert "description: tiny" in out and "version: 1.0" in out
+
+
+def test_show_anns_captions_print(tiny_coco, capsys):
+    assert tiny_coco.showAnns([]) == 0
+    tiny_coco.showAnns(tiny_coco.loadAnns([10, 12]))
+    out = capsys.readouterr().out
+    assert "a dog" in out and "a cat" in out
+
+
+def test_show_anns_polygons(tmp_path):
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    data = {
+        "images": [{"id": 1, "file_name": "a.jpg", "height": 8, "width": 8}],
+        "annotations": [
+            {
+                "id": 1,
+                "image_id": 1,
+                "category_id": 1,
+                "segmentation": [[1, 1, 1, 5, 5, 5, 5, 1]],
+                "area": 16,
+                "iscrowd": 0,
+            }
+        ],
+        "categories": [{"id": 1, "name": "thing"}],
+    }
+    p = tmp_path / "anno.json"
+    p.write_text(json.dumps(data))
+    coco = COCO(str(p))
+    fig = plt.figure()
+    try:
+        coco.showAnns(coco.loadAnns(coco.getAnnIds(imgIds=1)))
+        # two PatchCollections: translucent fill + outline
+        assert len(plt.gca().collections) == 2
+    finally:
+        plt.close(fig)
+
+
+def test_load_numpy_annotations(tiny_coco):
+    import numpy as np
+
+    rows = np.array(
+        [
+            [1, 10.0, 20.0, 30.0, 40.0, 0.9, 3],
+            [2, 0.0, 0.0, 5.0, 5.0, 0.5, 7],
+        ]
+    )
+    anns = tiny_coco.loadNumpyAnnotations(rows)
+    assert anns[0]["image_id"] == 1 and anns[0]["category_id"] == 3
+    assert anns[0]["bbox"] == [10.0, 20.0, 30.0, 40.0]
+    assert anns[1]["score"] == 0.5
+    with pytest.raises(AssertionError):
+        tiny_coco.loadNumpyAnnotations(np.zeros((2, 6)))
+
+
+def test_download_requires_target_dir(tiny_coco):
+    assert tiny_coco.download() == -1
+
+
+def test_download_skips_existing_files(tmp_path, tiny_coco):
+    # files already on disk are never re-fetched, so no network is touched
+    (tmp_path / "a.jpg").write_bytes(b"x")
+    (tmp_path / "b.jpg").write_bytes(b"y")
+    tiny_coco.download(str(tmp_path))
+    assert (tmp_path / "a.jpg").read_bytes() == b"x"

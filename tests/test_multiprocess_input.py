@@ -55,6 +55,7 @@ if jax.process_index() == 0:
 """
 
 
+@pytest.mark.slow  # heavyweight e2e; quick pass skips via -m 'not slow'
 def test_two_process_input_matches_single_process(tmp_path):
     # synthetic dataset both workers read
     sys.path.insert(0, REPO)
@@ -201,8 +202,6 @@ from adaptive_tpu.data.vocab import Vocabulary
 from adaptive_tpu.evalcap.coco_eval import decode_split
 from adaptive_tpu.models.factory import build_model
 
-pytestmark = pytest.mark.slow  # heavyweight e2e; quick pass skips via -m 'not slow'
-
 ws = os.environ["WS"]
 vocab = Vocabulary.load(os.path.join(ws, "vocab.json"))
 cf = Config(
@@ -222,6 +221,7 @@ with open(os.path.join(ws, f"eval_{jax.process_index()}.json"), "w") as f:
 """
 
 
+@pytest.mark.slow  # heavyweight e2e; quick pass skips via -m 'not slow'
 def test_two_process_eval_decode_matches_single(tmp_path):
     """decode_split on a 2-process mesh: sharded eval batches + gathered ids
     must reproduce the single-process results on every process (the
