@@ -300,6 +300,8 @@ class COCO:
 def _as_list(x) -> list:
     if x is None:
         return []
-    if isinstance(x, (list, tuple, set)):
+    # any non-string iterable (list/tuple/set/ndarray/generator) expands;
+    # a scalar id wraps
+    if not isinstance(x, (str, bytes)) and hasattr(x, "__iter__"):
         return list(x)
     return [x]

@@ -95,8 +95,15 @@ class CaptionModel(NamedTuple):
         if s2d == "auto":
             # measured win with prepared weights + per-channel scales:
             # 8,684 vs 8,648 captions/s (3-run means, batch 1024, v5e —
-            # VALIDATION.md round-3). Bit-exact rewrite, so auto is on.
-            s2d = True
+            # VALIDATION.md round-3). Bit-exact rewrite, so auto is on —
+            # except for odd crops: s2d packs 2x2 pixel blocks.
+            s2d = self.crop_size % 2 == 0
+        elif s2d and self.crop_size % 2:
+            raise ValueError(
+                "int8_stem_s2d=True requires an even input size (space-to-"
+                f"depth packs 2x2 pixel blocks) but crop_size={self.crop_size}"
+                " is odd — use an even train_crop_size or int8_stem_s2d=False"
+            )
         return fused, tails, bool(s2d)
 
     def encode_inference(self, params, state, images, prepared=None):

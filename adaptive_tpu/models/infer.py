@@ -478,6 +478,7 @@ def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict,
     s0 = scales["conv1"]
     s_in = scales["layer1.0.conv1"]
     xq = _requant(x.astype(jnp.float32), s0)
+    even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
     if "wq" in p:
         # prepared stem (prepare_encoder_inference): the s2d rewrite decision
         # is baked into the weight (4x4 = rewritten, static shape under jit) —
@@ -488,9 +489,16 @@ def _resnet_int8_carry(folded: Dict, x: jnp.ndarray, arch: str, scales: Dict,
                 "stem_s2d flag does not match the prepared stem kernel; re-run "
                 "prepare_encoder_inference with the same stem_s2d setting"
             )
+        if use_s2d and not even:
+            raise ValueError(
+                "the prepared stem was space-to-depth-rewritten (4x4 kernel) "
+                f"but the input is odd-sized {x.shape[1]}x{x.shape[2]}; re-run "
+                "prepare_encoder_inference with stem_s2d=False"
+            )
         stem, s0x = p, None
     else:
-        use_s2d = bool(stem_s2d) and p["kernel"].shape[0] == 7
+        # s2d packs 2x2 pixel blocks: odd inputs fall back to the plain 7x7
+        use_s2d = bool(stem_s2d) and p["kernel"].shape[0] == 7 and even
         stem, s0x = _stem_s2d_conv(p, s0) if use_s2d else (p, s0)
     if use_s2d:
         # bit-exact 7x7/s2 -> s2d + 4x4/s1 rewrite (_stem_s2d_conv)

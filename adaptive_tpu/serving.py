@@ -220,27 +220,19 @@ class CaptionService:
         n = len(batch)
         images = np.stack([b[0] for b in batch] + [batch[-1][0]] * (self.batch_size - n))
         try:
+            # Everything that can raise happens BEFORE any claim/delivery, so
+            # a failure anywhere reaches the error path with zero requests
+            # claimed — each waiter gets exactly one reply and is counted
+            # exactly once (a mid-loop failure after partial delivery would
+            # otherwise double-count and double-put on size-1 reply queues).
             out = self.decode(self.params, self.state, images)
             ids = np.asarray(out.ids)
             betas = np.asarray(getattr(out, "beta", np.zeros((self.batch_size, 1))))
-            done = time.monotonic()
-            with self._lock:  # claim delivery atomically vs caller timeouts
-                live = [b for b in batch if not b[3]["abandoned"]]
-                for b in live:
-                    b[3]["claimed"] = True
-                self._counters["batches"] += 1
-                self._counters["completed"] += len(live)
-                self._fill_hist[n] += 1
-                for _, t0, _, _ in live:
-                    ms = (done - t0) * 1e3
-                    self._lat_hist[bisect.bisect_left(_LAT_EDGES_MS, ms)] += 1
-            self._ready.set()
-            for i, (_, _, reply, flags) in enumerate(batch):
-                if not flags["claimed"]:  # timed out in submit; counted there
-                    continue
+            replies = []
+            for i in range(n):
                 caption = self.vocab.decode_ids(ids[i])
                 n_words = len(caption.split())
-                reply.put(
+                replies.append(
                     {
                         "caption": caption,
                         "beta": [float(b) for b in betas[i][:n_words]] if betas.ndim == 2 else [],
@@ -254,3 +246,19 @@ class CaptionService:
                 self._counters["errors"] += len(live)
             for _, _, reply, _ in live:
                 reply.put({"error": f"{type(e).__name__}: {e}"})
+            return
+        done = time.monotonic()
+        with self._lock:  # claim delivery atomically vs caller timeouts
+            live = [b for b in batch if not b[3]["abandoned"]]
+            for b in live:
+                b[3]["claimed"] = True
+            self._counters["batches"] += 1
+            self._counters["completed"] += len(live)
+            self._fill_hist[n] += 1
+            for _, t0, _, _ in live:
+                ms = (done - t0) * 1e3
+                self._lat_hist[bisect.bisect_left(_LAT_EDGES_MS, ms)] += 1
+        self._ready.set()
+        for (_, _, reply, flags), r in zip(batch, replies):
+            if flags["claimed"]:  # not claimed: timed out; counted in submit
+                reply.put(r)

@@ -120,3 +120,14 @@ def test_download_skips_existing_files(tmp_path, tiny_coco):
     (tmp_path / "b.jpg").write_bytes(b"y")
     tiny_coco.download(str(tmp_path))
     assert (tmp_path / "a.jpg").read_bytes() == b"x"
+
+
+def test_id_arguments_accept_any_iterable(tmp_path, tiny_coco):
+    # ndarrays and generators are Iterable[int] too, not single opaque ids
+    import numpy as np
+
+    assert tiny_coco.loadImgs(np.array([1, 2]))[1]["file_name"] == "b.jpg"
+    assert set(tiny_coco.getAnnIds(imgIds=iter([1]))) == {10, 11}
+    (tmp_path / "a.jpg").write_bytes(b"x")
+    tiny_coco.download(str(tmp_path), imgIds=iter([1]))
+    assert (tmp_path / "a.jpg").read_bytes() == b"x"

@@ -94,6 +94,46 @@ def test_stem_s2d_bit_exact():
     np.testing.assert_array_equal(s2d, base)
 
 
+def test_stem_s2d_odd_input_falls_back_to_7x7():
+    """s2d packs 2x2 pixel blocks, so an odd input size cannot be rewritten:
+    the inline carry forward must fall back to the plain 7x7 stem (identical
+    math) instead of crashing in the packing reshape."""
+    from adaptive_tpu.models.infer import calibrate_int8
+
+    params, state = R.init_resnet(jax.random.PRNGKey(5), "resnet18")
+    rng = np.random.default_rng(5)
+    state = jax.tree.map(
+        lambda x: jnp.asarray(rng.uniform(0.8, 1.2, x.shape), jnp.float32), state
+    )
+    x = jnp.asarray(rng.normal(size=(2, 63, 63, 3)), jnp.float32)
+    scales = calibrate_int8({"resnet": params}, {"resnet": state}, x, "resnet18")
+    folded = fold_resnet(params, state, "resnet18")
+    base = np.asarray(resnet_apply_folded_int8(folded, x, "resnet18", scales))
+    s2d = np.asarray(
+        resnet_apply_folded_int8(folded, x, "resnet18", scales, stem_s2d=True)
+    )
+    np.testing.assert_array_equal(s2d, base)
+
+
+def test_stem_s2d_odd_crop_model_resolution():
+    """Model-level guard: 'auto' resolves s2d OFF for an odd crop size;
+    an explicit int8_stem_s2d=True with an odd crop raises with the knob
+    named (the prepared 4x4 stem could never run on odd inputs)."""
+    from adaptive_tpu.config import Config
+    from adaptive_tpu.models.factory import build_model
+
+    cf = Config(
+        atten_model_name="adaptive_attention", encoder_backbone="resnet18",
+        train_crop_size=63, vocab_length=16,
+        adaptive_word_embed_size=8, adaptive_lstm_hidden_size=16,
+        encoder_quant="int8",
+    )
+    model = build_model(cf)
+    assert model._resolved_fusion()[2] is False
+    with pytest.raises(ValueError, match="even"):
+        model._replace(int8_stem_s2d=True)._resolved_fusion()
+
+
 def test_stem_s2d_kernel_transform_exact_fp():
     """Direct transform check in exact float arithmetic: the rewritten conv
     equals the 7x7/s2 conv on random f32 inputs (same products, fp32 dot)."""

@@ -180,6 +180,54 @@ def test_timeout_counted_once_and_worker_survives(tiny_cf):
         svc.close()
 
 
+def test_mid_delivery_failure_counts_each_request_once(tiny_cf):
+    """A failure AFTER decode succeeds (e.g. caption conversion) must reach
+    every waiter as one error dict — never a second reply to an
+    already-served caller, never double-counting a request as both completed
+    and error (the reply payloads are built before delivery is claimed)."""
+    from adaptive_tpu.data.vocab import SPECIALS, Vocabulary
+    from adaptive_tpu.serving import CaptionService
+
+    vocab = Vocabulary(SPECIALS + [f"w{i}" for i in range(28)])
+    cf = tiny_cf.replace(vocab_length=len(vocab), eval_batch_size=2, decode_max_len=4)
+    # a 2 s window guarantees both requests join one batch of 2
+    svc = CaptionService(cf, vocab, batch_size=2, max_wait_ms=2000)
+    calls = {"n": 0}
+    real = svc.vocab.decode_ids
+
+    def flaky(ids):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second row of the first batch
+            raise RuntimeError("boom")
+        return real(ids)
+
+    svc.vocab = type("V", (), {"decode_ids": staticmethod(flaky)})()
+    try:
+        img = np.zeros((72, 72, 3), np.uint8)
+        results = [None, None]
+
+        def ask(i):
+            results[i] = svc.caption(img, timeout=180)
+
+        threads = [threading.Thread(target=ask, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert all(r is not None for r in results)
+        # both callers see the error; nobody hangs, nobody gets two replies
+        assert all("boom" in r.get("error", "") for r in results), results
+        st = svc.stats()
+        assert st["errors"] == 2 and st["completed"] == 0
+        assert st["requests"] == (
+            st["completed"] + st["errors"] + st["shed"] + st["invalid"] + st["timeouts"]
+        )
+        svc.vocab = vocab  # worker survived; normal service resumes
+        assert "caption" in svc.caption(img, timeout=180)
+    finally:
+        svc.close()
+
+
 def test_overload_shedding(tiny_cf):
     """A full queue sheds with an 'overloaded' error instead of blocking."""
     from adaptive_tpu.data.vocab import SPECIALS, Vocabulary
