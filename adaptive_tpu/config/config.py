@@ -59,6 +59,13 @@ class Config:
     train_tb_gradOrnot: bool = True     # cfg_wzn.py:32
     train_tb_lstm_clip_grad: bool = True  # cfg_wzn.py:33
     train_lstm_maxnormal: float = 5.0   # cfg_wzn.py:34
+    # Train-time dropout at the reference's nn.Dropout sites (every affine
+    # input, baseline_attention.py:26/73/111 etc. — rate HARDCODED to 0 there;
+    # the author's notes flag it as an open knob, for_wzn:20,24, and the paper
+    # trained with 0.5). 0.0 == the reference's exact behavior (ops/dropout.py).
+    # Applies to the adam/sgd step; the L-BFGS closure stays deterministic
+    # (line search re-evaluations must see one fixed loss surface).
+    train_dropout_rate: float = 0.0
 
     # --------------------- optimization (cfg_wzn.py:37-75) ---------------------
     opt_fine_tune_cnn_start_layer: int = 5   # ResNet child index, cfg_wzn.py:39
@@ -288,6 +295,11 @@ def _validate(cf: Config):
     if cf.opt_state_sharding not in ("replicated", "data"):
         raise ValueError(
             f"opt_state_sharding={cf.opt_state_sharding!r} — must be replicated|data"
+        )
+    if not 0.0 <= cf.train_dropout_rate < 1.0:
+        raise ValueError(
+            f"train_dropout_rate={cf.train_dropout_rate} — must be in [0, 1) "
+            "(0 disables dropout, matching the reference's hardcoded Dropout(0))"
         )
     if cf.train_grad_accum_steps < 1:
         raise ValueError(

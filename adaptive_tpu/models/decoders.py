@@ -126,31 +126,37 @@ def mask_padded_vocab(spec: DecoderSpec, scores: jnp.ndarray) -> jnp.ndarray:
 def adaptive_block_apply(
     block: Dict, spec: DecoderSpec, x: jnp.ndarray, hiddens: jnp.ndarray,
     cells: jnp.ndarray, V: jnp.ndarray, h_prev: Optional[jnp.ndarray] = None,
-    pv: Optional[jnp.ndarray] = None,
+    pv: Optional[jnp.ndarray] = None, drop=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """(scores [B,T,vocab], alpha [B,T,K], beta or None).
 
     h_prev: [B,T,H] previous-step hiddens for the sentinel; if None, uses the
     reference's zero-prefixed shift of `hiddens` (adaptive_attention.py:116-122).
     pv: optional precomputed V @ Wv (loop-invariant across decode steps).
+    drop: train-time dropout at the reference's Dropout sites (every affine
+    input incl. the vocab mlp, adaptive_attention.py:132 — ops/dropout.py).
     """
+    from adaptive_tpu.ops.dropout import maybe_drop as _d
+
     if spec.variant == "baseline_attention":
-        c, alpha = att.spatial_attention(block["atten"], V, hiddens, pv)
-        scores = inits.linear(block["mlp"], c + hiddens)
+        c, alpha = att.spatial_attention(block["atten"], V, hiddens, pv, drop)
+        scores = inits.linear(block["mlp"], _d(drop, c + hiddens))
         return scores, alpha, None
 
     if spec.variant == "adaptive_attention":
         if h_prev is None:
             zero = jnp.zeros_like(hiddens[:, :1, :])
             h_prev = jnp.concatenate([zero, hiddens[:, :-1, :]], axis=1) if hiddens.shape[1] > 1 else zero
-        s = att.sentinel_gate(block["sentinel"], x, h_prev, cells)
-        c_hat, alpha, beta = att.adaptive_attention(block["atten"], V, hiddens, s, pv)
-        scores = inits.linear(block["mlp"], c_hat + hiddens)
+        s = att.sentinel_gate(block["sentinel"], x, h_prev, cells, drop)
+        c_hat, alpha, beta = att.adaptive_attention(block["atten"], V, hiddens, s, pv, drop)
+        scores = inits.linear(block["mlp"], _d(drop, c_hat + hiddens))
         return scores, alpha, beta
 
     if spec.variant == "rnn_attention":
-        f, alpha = att.recurrent_attention(block["atten"], V, hiddens, spec.rnn_bidirectional, pv)
-        scores = inits.linear(block["mlp"], f + hiddens)
+        f, alpha = att.recurrent_attention(
+            block["atten"], V, hiddens, spec.rnn_bidirectional, pv, drop
+        )
+        scores = inits.linear(block["mlp"], _d(drop, f + hiddens))
         return scores, alpha, None
 
     raise ValueError(spec.variant)
@@ -159,15 +165,18 @@ def adaptive_block_apply(
 # ------------------------------------------------------------ teacher forcing
 def decoder_forward(
     params: Dict, spec: DecoderSpec, V: jnp.ndarray, v_g: jnp.ndarray,
-    captions: jnp.ndarray, h0: jnp.ndarray, c0: jnp.ndarray,
+    captions: jnp.ndarray, h0: jnp.ndarray, c0: jnp.ndarray, drop=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Teacher-forced scores for all timesteps (Decoder.forward,
     baseline_attention.py:148-194). captions [B,T] int -> scores [B,T,vocab].
+    drop: train-time dropout inside the adaptive block (ops/dropout.py).
     """
     emb = params["embed"][captions]  # [B,T,E]
     x = jnp.concatenate([emb, jnp.broadcast_to(v_g[:, None, :], emb.shape)], axis=-1)
     hiddens, cells, _ = lstm_scan(params["lstm"], x, (h0, c0))
-    scores, alpha, beta = adaptive_block_apply(params["adaptive"], spec, x, hiddens, cells, V)
+    scores, alpha, beta = adaptive_block_apply(
+        params["adaptive"], spec, x, hiddens, cells, V, drop=drop
+    )
     return mask_padded_vocab(spec, scores), alpha, beta
 
 

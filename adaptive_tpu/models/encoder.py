@@ -35,19 +35,24 @@ def init_encoder(key, embed_size: int, hidden_size: int, arch: str) -> Tuple[Dic
 
 
 def encoder_apply(
-    params: Dict, state: Dict, images: jnp.ndarray, arch: str, train: bool = False
+    params: Dict, state: Dict, images: jnp.ndarray, arch: str, train: bool = False,
+    drop=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, Dict]:
     """images NHWC float -> (V [B,K,H], v_g [B,E], h0 [B,H], c0 [B,H], state').
 
-    K = (H/32)*(W/32) spatial slots (49 at 224x224).
+    K = (H/32)*(W/32) spatial slots (49 at 224x224). drop: train-time dropout
+    before each affine, where the reference's Dropout sits
+    (baseline_attention.py:51-58; rate hardcoded 0 there — ops/dropout.py).
     """
+    from adaptive_tpu.ops.dropout import maybe_drop as _d
+
     A, rn_state = R.resnet_apply(params["resnet"], state["resnet"], images, arch, train)
     B, Hf, Wf, C = A.shape
     A_flat = A.reshape(B, Hf * Wf, C)  # slot = h*W + w, same as torch view order
     a_g = jnp.mean(A_flat, axis=1)  # AvgPool2d(7) == global mean (baseline_attention.py:46-47)
 
-    V = jax.nn.relu(inits.linear(params["affine_a"], A_flat))
-    v_g = jax.nn.relu(inits.linear(params["affine_b"], a_g))
-    h0 = jnp.tanh(inits.linear(params["affine_h0"], a_g))
-    c0 = jnp.tanh(inits.linear(params["affine_c0"], a_g))
+    V = jax.nn.relu(inits.linear(params["affine_a"], _d(drop, A_flat)))
+    v_g = jax.nn.relu(inits.linear(params["affine_b"], _d(drop, a_g)))
+    h0 = jnp.tanh(inits.linear(params["affine_h0"], _d(drop, a_g)))
+    c0 = jnp.tanh(inits.linear(params["affine_c0"], _d(drop, a_g)))
     return V, v_g, h0, c0, {"resnet": rn_state}

@@ -32,6 +32,10 @@ class CaptionModel(NamedTuple):
     compute_dtype: Any
     use_pallas: bool = False
     remat_encoder: bool = False
+    # Train-time dropout rate at the reference's (hardcoded-zero) Dropout
+    # sites (ops/dropout.py; config knob train_dropout_rate). 0.0 == the
+    # reference's exact behavior; the paper trained with 0.5.
+    dropout_rate: float = 0.0
     encoder_quant: str = "none"  # none | int8 (PTQ, inference only)
     # Calibrated {conv_name: float} input scales for int8 (host constants,
     # baked into the jit). None -> dynamic per-batch scales. Produce with
@@ -64,18 +68,21 @@ class CaptionModel(NamedTuple):
         return params, enc_state
 
     # ---------------------------------------------------------------- encode
-    def encode(self, params, state, images, train: bool = False):
-        """Preprocessed float images NHWC -> (V, v_g, h0, c0, state')."""
-        apply = E.encoder_apply
+    def encode(self, params, state, images, train: bool = False, drop=None):
+        """Preprocessed float images NHWC -> (V, v_g, h0, c0, state').
+
+        drop: train-time dropout closure (ops/dropout.py) — closed over, not
+        passed through jax.checkpoint (a callable is not a pytree); masks are
+        deterministic in the step rng so remat replays identical bits."""
+
+        def apply(p, s, im):
+            return E.encoder_apply(p, s, im, self.arch, train, drop=drop)
+
         if self.remat_encoder and train:
             # trade ~2x encoder FLOPs for not materializing ResNet activations
             # across the backward pass (jax.checkpoint / rematerialization)
-            apply = jax.checkpoint(
-                E.encoder_apply, static_argnums=(3, 4), policy=None
-            )
-        return apply(
-            params["encoder"], state, images.astype(self.compute_dtype), self.arch, train
-        )
+            apply = jax.checkpoint(apply, policy=None)
+        return apply(params["encoder"], state, images.astype(self.compute_dtype))
 
     def _resolved_fusion(self):
         """(fused_layers, fused_tails, stem_s2d) with 'auto' resolved."""
@@ -151,16 +158,21 @@ class CaptionModel(NamedTuple):
         }
 
     # --------------------------------------------------------------- forward
-    def forward(self, params, state, images, captions, train: bool = False):
+    def forward(self, params, state, images, captions, train: bool = False,
+                dropout_rng=None):
         """Teacher-forced scores: (scores [B,T,vocab], (alpha, beta), state').
 
         Parity: Encoder2Decoder.forward (baseline_attention.py:206-230) minus
         the packing — padded scores + loss masking replace pack_padded_sequence
-        (see training/step.py).
+        (see training/step.py). dropout_rng activates train-time dropout when
+        dropout_rate > 0 (ops/dropout.py; identity otherwise).
         """
-        V, v_g, h0, c0, new_state = self.encode(params, state, images, train)
+        from adaptive_tpu.ops.dropout import make_dropout
+
+        drop = make_dropout(dropout_rng, self.dropout_rate) if train else None
+        V, v_g, h0, c0, new_state = self.encode(params, state, images, train, drop)
         scores, alpha, beta = D.decoder_forward(
-            params["decoder"], self.spec, V, v_g, captions, h0, c0
+            params["decoder"], self.spec, V, v_g, captions, h0, c0, drop=drop
         )
         return scores, (alpha, beta), new_state
 
@@ -240,6 +252,7 @@ def build_model(cf) -> CaptionModel:
         use_pallas=use_pallas,
         remat_encoder=cf.remat_encoder,
         encoder_quant=getattr(cf, "encoder_quant", "none"),
+        dropout_rate=float(getattr(cf, "train_dropout_rate", 0.0)),
     )
 
 

@@ -21,6 +21,8 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from adaptive_tpu.ops.dropout import Drop, maybe_drop as _d
+
 
 def precompute_slots(params, V: jnp.ndarray) -> jnp.ndarray:
     """pv = V @ Wv [B,K,D] — loop-invariant across decode steps. The reference
@@ -29,40 +31,58 @@ def precompute_slots(params, V: jnp.ndarray) -> jnp.ndarray:
     return V @ params["affine_v"]["kernel"]
 
 
-def attention_logits(params, V: jnp.ndarray, h: jnp.ndarray, pv: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+def attention_logits(
+    params, V: jnp.ndarray, h: jnp.ndarray, pv: Optional[jnp.ndarray] = None,
+    drop: Drop = None,
+) -> jnp.ndarray:
     """z [B,T,K]: additive attention scores (baseline_attention.py:86-90).
 
     z[b,t,i] = sum_j tanh( (V@Wv)[b,i,j] + (h@Wg)[b,t,j] ) * wh[j]
+
+    drop: train-time dropout before each affine, where the reference's
+    Dropout modules sit (baseline_attention.py:86-90: affine_v(dropout(V)) +
+    affine_g(dropout(h)), affine_h(dropout(tanh(content)))). Active dropout
+    overrides pv (the hoisted V projection has no mask).
     """
-    if pv is None:
+    if drop is not None:
+        pv = drop(V) @ params["affine_v"]["kernel"]  # [B,K,D]
+    elif pv is None:
         pv = precompute_slots(params, V)  # [B,K,D]
-    ph = h @ params["affine_g"]["kernel"]  # [B,T,D]
+    ph = _d(drop, h) @ params["affine_g"]["kernel"]  # [B,T,D]
     content = jnp.tanh(pv[:, None, :, :] + ph[:, :, None, :])  # [B,T,K,D]
-    return jnp.squeeze(content @ params["affine_h"]["kernel"], -1)  # [B,T,K]
+    return jnp.squeeze(_d(drop, content) @ params["affine_h"]["kernel"], -1)  # [B,T,K]
 
 
 def spatial_attention(
-    params, V: jnp.ndarray, h: jnp.ndarray, pv: Optional[jnp.ndarray] = None
+    params, V: jnp.ndarray, h: jnp.ndarray, pv: Optional[jnp.ndarray] = None,
+    drop: Drop = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Baseline Atten.forward (baseline_attention.py:78-96).
 
     Returns (c [B,T,H], alpha [B,T,K]).
     """
-    z = attention_logits(params, V, h, pv)
+    z = attention_logits(params, V, h, pv, drop)
     alpha = jax.nn.softmax(z, axis=-1)
-    c = alpha @ V  # [B,T,K] @ [B,K,H] -> [B,T,H]
+    c = alpha @ V  # [B,T,K] @ [B,K,H] -> [B,T,H]  (raw V: bmm has no dropout)
     return c, alpha
 
 
-def sentinel_gate(params, x: jnp.ndarray, h_prev: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+def sentinel_gate(
+    params, x: jnp.ndarray, h_prev: jnp.ndarray, c: jnp.ndarray, drop: Drop = None
+) -> jnp.ndarray:
     """Visual sentinel s_t = sigmoid(Wx x_t + Wh h_{t-1}) * tanh(c_t)
-    (adaptive_attention.py:75-85). x [B,T,2E], h_prev/c [B,T,H]."""
-    g = jax.nn.sigmoid(x @ params["affine_x"]["kernel"] + h_prev @ params["affine_h"]["kernel"])
+    (adaptive_attention.py:75-85). x [B,T,2E], h_prev/c [B,T,H]. drop sits
+    before each affine (adaptive_attention.py:79)."""
+    g = jax.nn.sigmoid(
+        _d(drop, x) @ params["affine_x"]["kernel"]
+        + _d(drop, h_prev) @ params["affine_h"]["kernel"]
+    )
     return g * jnp.tanh(c)
 
 
 def adaptive_attention(
-    params, V: jnp.ndarray, h: jnp.ndarray, s: jnp.ndarray, pv: Optional[jnp.ndarray] = None
+    params, V: jnp.ndarray, h: jnp.ndarray, s: jnp.ndarray, pv: Optional[jnp.ndarray] = None,
+    drop: Drop = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Adaptive Atten.forward (adaptive_attention.py:26-58).
 
@@ -71,14 +91,17 @@ def adaptive_attention(
     reference's returned attention maps, and beta is the sentinel mass of the
     (K+1)-way softmax over [z; z_s].
     """
-    z = attention_logits(params, V, h, pv)  # [B,T,K]
+    z = attention_logits(params, V, h, pv, drop)  # [B,T,K]
     alpha = jax.nn.softmax(z, axis=-1)
     c = alpha @ V  # [B,T,H]
 
     # Sentinel logit z_s[b,t] = sum_j tanh((s@Ws + h@Wg)[b,t,j]) * wh[j]
-    # (adaptive_attention.py:44-47).
-    content_s = jnp.tanh(s @ params["affine_s"]["kernel"] + h @ params["affine_g"]["kernel"])
-    z_s = content_s @ params["affine_h"]["kernel"]  # [B,T,1]
+    # (adaptive_attention.py:44-47); drop before each affine (:45-47).
+    content_s = jnp.tanh(
+        _d(drop, s) @ params["affine_s"]["kernel"]
+        + _d(drop, h) @ params["affine_g"]["kernel"]
+    )
+    z_s = _d(drop, content_s) @ params["affine_h"]["kernel"]  # [B,T,1]
 
     extended = jnp.concatenate([z, z_s], axis=-1)  # [B,T,K+1]
     alpha_hat = jax.nn.softmax(extended, axis=-1)
@@ -90,7 +113,7 @@ def adaptive_attention(
 
 def recurrent_attention(
     params, V: jnp.ndarray, h: jnp.ndarray, bidirectional: bool = True,
-    pv: Optional[jnp.ndarray] = None,
+    pv: Optional[jnp.ndarray] = None, drop: Drop = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """rnn_attention Atten.forward (rnn_attention.py:31-67).
 
@@ -102,7 +125,7 @@ def recurrent_attention(
 
     B, K, H = V.shape
     T = h.shape[1]
-    z = attention_logits(params, V, h, pv)  # [B,T,K]
+    z = attention_logits(params, V, h, pv, drop)  # [B,T,K]
     alpha = jax.nn.sigmoid(z)  # rnn_attention.py:47
     Vw = alpha[..., None] * V[:, None, :, :]  # [B,T,K,H]
     flat = Vw.reshape(B * T, K, H)

@@ -93,9 +93,16 @@ def make_train_step(model, dual: DualOptimizer, cf):
             enc = dict(params["encoder"])
             enc["resnet"] = jax.lax.stop_gradient(enc["resnet"])
             params = {**params, "encoder": enc}
+        if model.dropout_rate:
+            # One key for crop/flip, one for dropout masks; rate==0 keeps the
+            # single-key path so existing runs stay bit-identical.
+            rng, drop_rng = jax.random.split(rng)
+        else:
+            drop_rng = None
         images = train_preprocess(rng, batch["images"], crop, model.compute_dtype)
         scores, _, new_state = model.forward(
-            params, model_state, images, batch["captions"], train=True
+            params, model_state, images, batch["captions"], train=True,
+            dropout_rng=drop_rng,
         )
         sum_nll, n_valid = masked_ce_sum(scores, batch["captions"], batch["lengths"])
         return sum_nll, (n_valid, new_state)
