@@ -11,7 +11,7 @@ from typing import Dict, List
 
 from adaptive_tpu.evalcap.bleu import Bleu
 from adaptive_tpu.evalcap.cider import Cider
-from adaptive_tpu.evalcap.meteor import Meteor
+from adaptive_tpu.evalcap.meteor import Meteor, default_tables
 from adaptive_tpu.evalcap.ptbtokenizer import PTBTokenizer
 from adaptive_tpu.evalcap.rouge import Rouge
 
@@ -38,7 +38,9 @@ class COCOEvalCap:
         print("setting up scorers...")
         scorers = [
             (Bleu(4), ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]),
-            (Meteor(), "METEOR"),
+            # stages 3-4 run on the resolved production tables (env-pluggable
+            # WordNet data, packaged starter tables, or off — meteor.py)
+            (Meteor(tables=default_tables()), "METEOR"),
             (Rouge(), "ROUGE_L"),
             (Cider(), "CIDEr"),
         ]

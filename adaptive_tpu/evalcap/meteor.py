@@ -11,11 +11,18 @@ matcher:
 * exact (weight 1.0) and Porter stem (0.6) — always on;
 * synonymy (0.8) and paraphrase (0.6) — activated by pluggable table files
   (`MatchTables`): the jar reads WordNet and paraphrase-en.gz, which are
-  missing blobs here, so the STAGES are implemented and tested with fixture
-  tables and the remaining gap is data only. Synonym table: one synset per
-  line (space-separated members; two words match if they share a synset).
-  Paraphrase table: `phrase ||| phrase [||| ignored]` per line, applied
-  symmetrically; phrases match multi-word spans in the aligner.
+  missing blobs here, so the stages run on whatever tables are installed.
+  Synonym table: one synset per line (space-separated members; two words
+  match if they share a synset; `#` comments allowed). Paraphrase table:
+  `phrase ||| phrase [||| ignored]` per line, applied symmetrically; phrases
+  match multi-word spans in the aligner. Table resolution
+  (`default_tables()`, used by the COCOEvalCap production path):
+  `ADAPTIVE_TPU_METEOR_SYNONYMS` / `ADAPTIVE_TPU_METEOR_PARAPHRASES` env
+  paths if set (point these at real WordNet-derived data when available);
+  otherwise the packaged curated starter tables in `evalcap/data/`
+  (caption-domain, provenance documented in the files themselves);
+  `ADAPTIVE_TPU_METEOR_TABLES=off` disables stages 3-4 entirely, leaving
+  the deterministic exact+stem scorer.
 * alignment resolution by beam search over match permutations with Meteor's
   comparator — maximize matched words, then minimize chunks, then maximize
   match weight, then minimize total position distance (the jar's Aligner
@@ -97,6 +104,8 @@ class MatchTables:
         if synonyms_path:
             with _open_maybe_gz(synonyms_path) as f:
                 for sid, line in enumerate(f):
+                    if line.lstrip().startswith("#"):
+                        continue
                     members = line.split()
                     for w in members:
                         syn.setdefault(w, set()).add(sid)
@@ -104,6 +113,8 @@ class MatchTables:
         if paraphrases_path:
             with _open_maybe_gz(paraphrases_path) as f:
                 for line in f:
+                    if line.lstrip().startswith("#"):
+                        continue
                     parts = [p.strip() for p in line.split("|||")]
                     if len(parts) < 2 or not parts[0] or not parts[1]:
                         continue
@@ -125,6 +136,41 @@ def _open_maybe_gz(path: str):
 
         return gzip.open(path, "rt", encoding="utf-8")
     return open(path, encoding="utf-8")
+
+
+_DEFAULT_TABLES_CACHE: List = []  # [Optional[MatchTables]] once resolved
+
+
+def default_tables(refresh: bool = False) -> Optional["MatchTables"]:
+    """Resolve the production synonym/paraphrase tables (cached).
+
+    Priority: `ADAPTIVE_TPU_METEOR_TABLES=off|0|none` -> None (2-stage
+    scorer); `ADAPTIVE_TPU_METEOR_SYNONYMS` / `ADAPTIVE_TPU_METEOR_PARAPHRASES`
+    env paths -> load those (either alone is fine); otherwise the packaged
+    curated starter tables under `evalcap/data/` (see the files' headers for
+    provenance — they are caption-domain curations, not WordNet).
+    """
+    import os
+
+    if _DEFAULT_TABLES_CACHE and not refresh:
+        return _DEFAULT_TABLES_CACHE[0]
+    _DEFAULT_TABLES_CACHE.clear()
+    if os.environ.get("ADAPTIVE_TPU_METEOR_TABLES", "").lower() in ("off", "0", "none"):
+        _DEFAULT_TABLES_CACHE.append(None)
+        return None
+    data_dir = os.path.join(os.path.dirname(__file__), "data")
+    syn = os.environ.get("ADAPTIVE_TPU_METEOR_SYNONYMS")
+    para = os.environ.get("ADAPTIVE_TPU_METEOR_PARAPHRASES")
+    if not syn and not para:
+        syn = os.path.join(data_dir, "meteor_synonyms.txt")
+        para = os.path.join(data_dir, "meteor_paraphrases.txt")
+        if not os.path.exists(syn):
+            syn = None
+        if not os.path.exists(para):
+            para = None
+    tables = MatchTables.load(syn, para) if (syn or para) else None
+    _DEFAULT_TABLES_CACHE.append(tables)
+    return tables
 
 
 # (hyp_start, hyp_len, ref_start, ref_len, stage weight)

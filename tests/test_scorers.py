@@ -332,3 +332,69 @@ def test_meteor_canned_corpus_regression():
     with open(fix) as f:
         expected = json.load(f)
     assert got == expected, (got, expected)
+
+
+# ------------------- METEOR production table resolution ---------------------
+
+
+@pytest.fixture()
+def _tables_cache_guard(monkeypatch):
+    """Isolate default_tables() cache + env from the rest of the suite."""
+    from adaptive_tpu.evalcap import meteor as m
+
+    for var in ("ADAPTIVE_TPU_METEOR_TABLES", "ADAPTIVE_TPU_METEOR_SYNONYMS",
+                "ADAPTIVE_TPU_METEOR_PARAPHRASES"):
+        monkeypatch.delenv(var, raising=False)
+    saved = list(m._DEFAULT_TABLES_CACHE)
+    yield m
+    m._DEFAULT_TABLES_CACHE.clear()
+    m._DEFAULT_TABLES_CACHE.extend(saved)
+
+
+def test_default_tables_packaged(_tables_cache_guard):
+    """With no env overrides the packaged curated starter tables load: both
+    stages are populated and behave as documented in the data files."""
+    m = _tables_cache_guard
+    tables = m.default_tables(refresh=True)
+    assert tables is not None
+    # synonym stage: spelling variants + caption-domain synsets
+    assert tables.synonymous("color", "colour")
+    assert tables.synonymous("couch", "sofa")
+    assert not tables.synonymous("couch", "colour")
+    # paraphrase stage: multi-word spans present, comments skipped
+    assert "stoplight" in tables.paraphrases.get("traffic light", set())
+    assert tables.max_phrase >= 4  # 'in the middle of'
+    assert not any(p.startswith("#") for p in tables.paraphrases)
+    # end-to-end: the tables lift a caption pair the 2-stage scorer misses
+    hyp, ref = "a colour photo of a couch", "a color photograph of a sofa"
+    assert m.sentence_meteor(hyp, ref, tables) > m.sentence_meteor(hyp, ref)
+
+
+def test_packaged_synonym_file_well_formed(_tables_cache_guard):
+    import os
+
+    path = os.path.join(os.path.dirname(_tables_cache_guard.__file__),
+                        "data", "meteor_synonyms.txt")
+    with open(path) as f:
+        for line in f:
+            if not line.strip() or line.lstrip().startswith("#"):
+                continue
+            members = line.split()
+            assert len(members) >= 2, line
+            assert len(set(members)) == len(members), line
+            assert all(w == w.lower() for w in members), line
+
+
+def test_default_tables_env_off(_tables_cache_guard, monkeypatch):
+    monkeypatch.setenv("ADAPTIVE_TPU_METEOR_TABLES", "off")
+    assert _tables_cache_guard.default_tables(refresh=True) is None
+
+
+def test_default_tables_env_override(_tables_cache_guard, monkeypatch, tmp_path):
+    syn = tmp_path / "syn.txt"
+    syn.write_text("foo bar\n")
+    monkeypatch.setenv("ADAPTIVE_TPU_METEOR_SYNONYMS", str(syn))
+    tables = _tables_cache_guard.default_tables(refresh=True)
+    assert tables.synonymous("foo", "bar")
+    assert not tables.synonymous("color", "colour")  # packaged file not used
+    assert tables.paraphrases == {}
