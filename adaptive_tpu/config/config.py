@@ -183,6 +183,16 @@ class Config:
     # for the first start and every restart after preemption. The reference
     # requires hand-editing train_pretrained_model (cfg_wzn.py:22-23).
     train_auto_resume_dir: str = ""
+    # Step-interval checkpoints INSIDE an epoch (0 = off, per-epoch only —
+    # the reference's cadence, train.py:176-178). When > 0, every N steps a
+    # 'cider-0.0000_model-E_step-K' checkpoint lands next to the per-epoch
+    # ones carrying the full resume payload (params, BN, moments, rng stream,
+    # epoch-loss accumulator, metric histories); auto-resume restarts at
+    # exactly step K of epoch E — bit-identical to the uninterrupted run
+    # (tests/test_step_resume.py). Stale step checkpoints are pruned once a
+    # newer step/epoch checkpoint is durable. For COCO-scale epochs (~1h on
+    # a single chip) this bounds preemption loss to N steps, not an epoch.
+    train_checkpoint_every_steps: int = 0
     # Gradient accumulation: split each batch into this many microbatches
     # (lax.scan) and combine into the EXACT full-batch gradient (sum-of-NLL /
     # total-valid-count — see training/step.py). Trades step time for

@@ -217,8 +217,17 @@ class TrainBatches:
         return self._cap_lens
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        yield from self.iter_from(0)
+
+    def iter_from(self, start_batch: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterate this epoch's batch plan from batch index `start_batch`
+        (mid-epoch resume: the plan is a pure function of seed+epoch, so
+        skipping the first K index lists replays the uninterrupted run's
+        remaining batches exactly — no image of a skipped batch is decoded)."""
         batches = self._batch_indices()
-        yield from _prefetched(self._make_batch, batches, self.num_workers, self.prefetch)
+        yield from _prefetched(
+            self._make_batch, batches[start_batch:], self.num_workers, self.prefetch
+        )
         self.epoch += 1
 
 

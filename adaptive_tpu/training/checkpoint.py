@@ -78,18 +78,24 @@ def save_checkpoint(
     model_state: Any,
     opt_state: Any = None,
     metadata: Optional[Dict] = None,
+    prune_before: Optional[Tuple[int, int]] = None,
 ):
     """Write checkpoint dir: model.npz (+opt.npz) + manifest.json.
 
     Atomic: everything lands in '<path>.tmp' which is renamed into place, so
     a crash mid-write can never leave a half-readable checkpoint (restore
-    paths only ever see complete directories)."""
+    paths only ever see complete directories). `prune_before`: a resume point
+    (epoch, step) — mid-epoch '_step-K' checkpoints strictly before it are
+    deleted AFTER this one is durable. The stale set is listed inside the
+    write (not at the call site), so an async save sequenced behind a
+    still-in-flight step write sees and prunes it; ordering guarantees a
+    complete resume point exists at every instant."""
     flat_model = _flatten({"params": params, "state": model_state})
     flat_opt = _flatten(opt_state) if opt_state is not None else None
-    _write_checkpoint_files(path, flat_model, flat_opt, metadata)
+    _write_checkpoint_files(path, flat_model, flat_opt, metadata, prune_before)
 
 
-def _write_checkpoint_files(path, flat_model, flat_opt, metadata):
+def _write_checkpoint_files(path, flat_model, flat_opt, metadata, prune_before=None):
     import shutil
 
     path = path.rstrip("/")
@@ -122,6 +128,13 @@ def _write_checkpoint_files(path, flat_model, flat_opt, metadata):
         shutil.rmtree(old, ignore_errors=True)
     else:
         os.replace(tmp, path)
+    if prune_before is not None:
+        # only ever prunes mid-epoch step checkpoints (stale_step_checkpoints
+        # filters), and only now that the newer one is durably in place
+        # (crash-safe: at worst a stale dir survives and is pruned by the
+        # next successful write)
+        for stale in stale_step_checkpoints(os.path.dirname(path), *prune_before):
+            shutil.rmtree(stale, ignore_errors=True)
 
 
 class AsyncCheckpointer:
@@ -144,7 +157,8 @@ class AsyncCheckpointer:
         self._thread: Optional["threading.Thread"] = None
         self._error: Optional[BaseException] = None
 
-    def save(self, path, params, model_state, opt_state=None, metadata=None):
+    def save(self, path, params, model_state, opt_state=None, metadata=None,
+             prune_before=None):
         import threading
 
         self.wait()  # one in-flight write max; surfaces prior write errors
@@ -153,7 +167,9 @@ class AsyncCheckpointer:
 
         def work():
             try:
-                _write_checkpoint_files(path, flat_model, flat_opt, metadata)
+                _write_checkpoint_files(
+                    path, flat_model, flat_opt, metadata, prune_before
+                )
             except BaseException as e:  # surfaced on the next save()/wait()
                 self._error = e
 
@@ -197,25 +213,66 @@ def checkpoint_name(cider: float, epoch: int) -> str:
     return "cider-%.4f_model-%d" % (cider, epoch)
 
 
-def find_latest_checkpoint(directory: str) -> Optional[str]:
-    """Path of the highest-epoch complete checkpoint dir under `directory`.
+def step_checkpoint_name(epoch: int, step: int) -> str:
+    """Mid-epoch checkpoint name: the epoch-name contract plus a '_step-K'
+    suffix (K = steps already completed in epoch E). The suffix keeps these
+    invisible to find_best_checkpoint (no CIDEr has been measured yet) while
+    find_latest_checkpoint ranks them between epoch E-1's and epoch E's
+    completes."""
+    return "cider-0.0000_model-%d_step-%d" % (epoch, step)
 
-    Matches the 'cider-X.XXXX_model-N' naming contract; in-flight '.tmp'
-    staging dirs (AsyncCheckpointer) are never matched, so a checkpoint
+
+def _resume_point(name: str) -> Optional[Tuple[int, int]]:
+    """(epoch_to_run, step_to_start_at) a checkpoint dir name resumes into,
+    or None if the name is not a checkpoint. Epoch-complete 'model-N' resumes
+    at (N+1, 0); mid-epoch 'model-N_step-K' resumes at (N, K) — ordering
+    these tuples ranks any mix of the two kinds chronologically."""
+    m = re.search(r"model-(\d+)(?:_step-(\d+))?$", name)
+    if not m:
+        return None
+    if m.group(2) is None:
+        return (int(m.group(1)) + 1, 0)
+    return (int(m.group(1)), int(m.group(2)))
+
+
+def find_latest_checkpoint(directory: str) -> Optional[str]:
+    """Path of the latest complete checkpoint dir under `directory` — the one
+    whose resume point (epoch, step) is furthest along, ranking mid-epoch
+    '_step-K' checkpoints between their surrounding epoch completes.
+
+    Matches the 'cider-X.XXXX_model-N[_step-K]' naming contract; in-flight
+    '.tmp' staging dirs (AsyncCheckpointer) are never matched, so a checkpoint
     interrupted mid-write is invisible here. Returns None when the directory
     does not exist or holds no checkpoints — auto-resume's fresh-start case.
     """
     if not directory or not os.path.isdir(directory):
         return None
-    best: Tuple[int, str] = (-1, "")
+    best: Tuple[Tuple[int, int], str] = ((-1, -1), "")
     for name in os.listdir(directory):
         if name.endswith(".tmp"):
             continue
-        m = re.search(r"model-(\d+)$", name)
+        point = _resume_point(name)
         full = os.path.join(directory, name)
-        if m and os.path.isdir(full) and int(m.group(1)) > best[0]:
-            best = (int(m.group(1)), full)
+        if point is not None and os.path.isdir(full) and point > best[0]:
+            best = (point, full)
     return best[1] or None
+
+
+def stale_step_checkpoints(directory: str, epoch: int, step: int) -> list:
+    """Mid-epoch checkpoint dirs whose resume point is strictly before
+    (epoch, step) — prune candidates once a (epoch, step) checkpoint is
+    durable. Epoch-complete checkpoints are never returned (the per-epoch
+    history is the reference contract and stays)."""
+    out = []
+    if not directory or not os.path.isdir(directory):
+        return out
+    for name in os.listdir(directory):
+        if "_step-" not in name or name.endswith(".tmp"):
+            continue
+        point = _resume_point(name)
+        if point is not None and point < (epoch, step):
+            out.append(os.path.join(directory, name))
+    return out
 
 
 def find_best_checkpoint(directory: str) -> Optional[str]:

@@ -117,9 +117,19 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
 
     train_epoch_loss = 100.0  # initial value for the scheduler (train.py:80)
 
-    # Full resume: optimizer moments + LR-scheduler progress from the
-    # checkpoint (the reference resumes weights only — a deficiency its
-    # author flagged, for_wzn:15-17).
+    # Mid-epoch resume state (train_checkpoint_every_steps checkpoints carry
+    # it; zero/empty for fresh starts and epoch-complete resumes).
+    start_step = 0
+    resumed_loss_sum: Optional[float] = None
+    resumed_n_steps = 0
+    global_n_iter = 0
+    cider_scores, cider_scores_train_eval = [], []
+    best_cider, best_epoch = 0.0, 0
+    train_epoch_losses = []
+
+    # Full resume: optimizer moments + LR-scheduler progress + rng stream +
+    # metric histories from the checkpoint (the reference resumes weights
+    # only — a deficiency its author flagged, for_wzn:15-17).
     if cf.train_pretrained and cf.train_pretrained_model:
         ckpt_dir = cf.train_pretrained_model
         if os.path.exists(os.path.join(ckpt_dir, "opt.npz")):
@@ -140,6 +150,26 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
                 sched.best = meta[key_]["best"]
                 sched.num_bad_epochs = meta[key_]["num_bad_epochs"]
         train_epoch_loss = meta.get("train_epoch_loss", train_epoch_loss)
+        if "rng_key" in meta:
+            # the carried per-step rng stream: restoring it makes the resumed
+            # run's augmentation/dropout draws bit-identical to uninterrupted
+            rng = _rng_from_list(meta["rng_key"])
+        global_n_iter = int(meta.get("global_n_iter", 0))
+        train_epoch_losses = list(meta.get("train_epoch_losses", []))
+        cider_scores = list(meta.get("cider_scores", []))
+        cider_scores_train_eval = list(meta.get("cider_scores_train_eval", []))
+        best_cider = float(meta.get("best_cider", 0.0))
+        best_epoch = int(meta.get("best_epoch", 0))
+        if meta.get("step_in_epoch"):
+            # mid-epoch checkpoint: re-enter the SAME epoch at the saved step
+            # (get_model parsed 'model-N' as epoch-complete -> N+1; override)
+            start_epoch = int(meta["epoch"])
+            start_step = int(meta["step_in_epoch"])
+            resumed_loss_sum = float(meta["epoch_loss_sum"])
+            resumed_n_steps = int(meta["epoch_n_steps"])
+            print(
+                "mid-epoch resume: epoch %d from step %d" % (start_epoch, start_step)
+            )
 
     if dual.decoder_is_lbfgs or dual.encoder_is_lbfgs:
         from adaptive_tpu.training.lbfgs import make_lbfgs_train_step
@@ -159,41 +189,70 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
         )
 
     total_step = len(loader)
-    cider_scores, cider_scores_train_eval = [], []
-    best_cider, best_epoch = 0.0, 0
-    train_epoch_losses = []
-    global_n_iter = 0
     encoder_opt_flag = False
+
+    def resume_meta():
+        """The non-weight resume payload (saved with every checkpoint): rng
+        stream position, TB step counter, metric/early-stop histories,
+        scheduler state. Reads the enclosing locals at call time."""
+        return {
+            "model": cf.atten_model_name,
+            "rng_key": _rng_to_list(rng),
+            "global_n_iter": global_n_iter,
+            "train_epoch_losses": train_epoch_losses,
+            "cider_scores": cider_scores,
+            "cider_scores_train_eval": cider_scores_train_eval,
+            "best_cider": best_cider,
+            "best_epoch": best_epoch,
+            "decoder_sched": vars_of(decoder_sched),
+            "encoder_sched": vars_of(encoder_sched),
+        }
 
     final_params, final_state = params, state
     for epoch in range(start_epoch, cf.train_num_epochs + 1):
         print("#------------------Training for Epoch %d----------------#" % epoch)
         if epoch > cf.opt_fine_tune_cnn_start_epoch:  # train.py:89-90
             encoder_opt_flag = True
+        # the batch plan is a pure function of seed+epoch: pin it to the epoch
+        # number so a resumed run replays the same plan as the uninterrupted one
+        loader.epoch = epoch
+        resuming_mid_epoch = epoch == start_epoch and start_step > 0
 
-        # lr scheduling at epoch start on previous epoch's loss (train.py:93)
-        new_dlr = decoder_sched.step(train_epoch_loss)
-        opt_state = set_lr(opt_state, "decoder", new_dlr)
-        print("learning rate of Decoder is:", new_dlr)
-        writer.add_scalars("learning_rate_per_epoch", {"decoder": new_dlr}, epoch)
-        if encoder_opt_flag:
-            new_elr = encoder_sched.step(train_epoch_loss)
-            opt_state = set_lr(opt_state, "encoder", new_elr)
-            print("learning rate of Encoder is:", new_elr)
-            writer.add_scalars("learning_rate_per_epoch", {"encoder": new_elr}, epoch)
+        if resuming_mid_epoch:
+            # the scheduler already stepped at this epoch's original start and
+            # its stepped state was checkpointed; stepping again would decay
+            # twice. The restored opt_state carries the in-effect LRs.
+            print("learning rate of Decoder is:", get_lr(opt_state, "decoder"))
+            if encoder_opt_flag:
+                print("learning rate of Encoder is:", get_lr(opt_state, "encoder"))
+        else:
+            # lr scheduling at epoch start on previous epoch's loss (train.py:93)
+            new_dlr = decoder_sched.step(train_epoch_loss)
+            opt_state = set_lr(opt_state, "decoder", new_dlr)
+            print("learning rate of Decoder is:", new_dlr)
+            writer.add_scalars("learning_rate_per_epoch", {"decoder": new_dlr}, epoch)
+            if encoder_opt_flag:
+                new_elr = encoder_sched.step(train_epoch_loss)
+                opt_state = set_lr(opt_state, "encoder", new_elr)
+                print("learning rate of Encoder is:", new_elr)
+                writer.add_scalars("learning_rate_per_epoch", {"encoder": new_elr}, epoch)
 
         from adaptive_tpu.data.loader import device_prefetch
         from adaptive_tpu.parallel.mesh import data_sharding
 
         # on-device loss accumulator: one scalar fetch per epoch, not per step
-        loss_sum = None
-        n_steps = 0
+        # (mid-epoch resume seeds it with the checkpointed partial sum — an
+        # f32-exact float round-trip, so the epoch mean matches uninterrupted)
+        loss_sum = resumed_loss_sum if resuming_mid_epoch else None
+        n_steps = resumed_n_steps if resuming_mid_epoch else 0
+        first_batch = start_step if resuming_mid_epoch else 0
         batches = device_prefetch(
-            iter(loader), size=2,
+            loader.iter_from(first_batch), size=2,
             sharding=data_sharding(mesh) if mesh is not None else None,
             local=loader.process_sharded,
         )
-        for i, batch in enumerate(batches):
+        every = cf.train_checkpoint_every_steps
+        for i, batch in enumerate(batches, start=first_batch):
             rng, step_key = jax.random.split(rng)
             out = train_step(params, state, opt_state, batch, step_key, encoder_opt_flag)
             params, state, opt_state = out.params, out.model_state, out.opt_state
@@ -216,6 +275,26 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
                         "decoder_norm/decoder_lstm_norm", float(out.lstm_grad_norm), global_n_iter
                     )
             global_n_iter += 1
+
+            if every and (i + 1) % every == 0:  # mid-epoch resume point
+                step_meta = resume_meta()
+                step_meta.update({
+                    "epoch": epoch,
+                    "step_in_epoch": i + 1,
+                    # f32-exact float round-trip: the resumed epoch mean
+                    # equals the uninterrupted run's
+                    "epoch_loss_sum": float(loss_sum),
+                    "epoch_n_steps": n_steps,
+                    "train_epoch_loss": train_epoch_loss,
+                })
+                ckpt_saver.save(
+                    os.path.join(
+                        trained_model_path, ckpt.step_checkpoint_name(epoch, i + 1)
+                    ),
+                    params, state, opt_state, metadata=step_meta,
+                    # older '_step-K' dirs go only after this one is durable
+                    prune_before=(epoch, i + 1),
+                )
 
         if n_steps:
             train_epoch_loss = float(loss_sum) / n_steps
@@ -263,19 +342,21 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
         # per-epoch checkpoint (train.py:176-178), plus full resume payload;
         # async: the step only pays the device->host fetch, npz IO overlaps
         # the next epoch (checkpoint.AsyncCheckpointer)
+        epoch_meta = resume_meta()
+        epoch_meta.update({
+            "epoch": epoch,
+            "cider": cider,
+            "train_epoch_loss": train_epoch_loss,
+        })
         ckpt_saver.save(
             os.path.join(trained_model_path, ckpt.checkpoint_name(cider, epoch)),
             params,
             state,
             opt_state,
-            metadata={
-                "epoch": epoch,
-                "cider": cider,
-                "train_epoch_loss": train_epoch_loss,
-                "model": cf.atten_model_name,
-                "decoder_sched": vars_of(decoder_sched),
-                "encoder_sched": vars_of(encoder_sched),
-            },
+            metadata=epoch_meta,
+            # this epoch's (and any earlier) mid-epoch checkpoints are now
+            # subsumed; pruned only after the epoch checkpoint is durable
+            prune_before=(epoch + 1, 0),
         )
         final_params, final_state = params, state
 
@@ -288,6 +369,22 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
 
 def vars_of(sched: ReduceLROnPlateau) -> dict:
     return {"lr": sched.lr, "best": sched.best, "num_bad_epochs": sched.num_bad_epochs}
+
+
+def _rng_to_list(rng) -> list:
+    """PRNG key -> JSON-safe list of uint32 words (manifest.json payload)."""
+    if jax.dtypes.issubdtype(getattr(rng, "dtype", None), jax.dtypes.prng_key):
+        rng = jax.random.key_data(rng)  # typed keys -> raw words
+    return [int(x) for x in np.asarray(rng).ravel()]
+
+
+def _rng_from_list(words) -> jax.Array:
+    """Inverse of _rng_to_list. Returns a raw uint32 key vector — accepted by
+    jax.random.split/fold_in regardless of whether the run that saved it used
+    raw or typed keys (both serialize to the same words)."""
+    import jax.numpy as jnp
+
+    return jnp.asarray(np.asarray(words, dtype=np.uint32))
 
 
 def figure_loss(cf, train_losses):
