@@ -37,7 +37,10 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
     eos = cf.decode_eos_token
     size = cf.train_crop_size
     sentinel_prev = cf.sampler_sentinel_uses_prev_hidden
-    prepare = prepare_cached(model, with_head=False)  # beam never reads the greedy head
+    # the fused Pallas beam head (beam_head_topk) consumes the same hoisted
+    # padded vocab head as greedy; the XLA fallback never reads it
+    with_head = model.use_pallas and model.spec.variant == "adaptive_attention"
+    prepare = prepare_cached(model, with_head=with_head)
 
     @jax.jit
     def decode_prepared(prepared, images_u8) -> BeamOutput:
@@ -53,6 +56,7 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
         V_t, vg_t = tile(V), tile(v_g)
         pv_t = tile(model.precompute_slots(params, V))
         dstate = model.init_decode_state(tile(h0), tile(c0))
+        head = prepared.get("head")
 
         tokens = jnp.full((B, W), start, jnp.int32)
         # only beam 0 is alive at step 0 so identical expansions don't duplicate
@@ -69,21 +73,29 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
 
         def step(carry, _):
             tokens, scores, finished, dstate, ids_buf, att_buf, beta_buf, t = carry
-            logits, alpha, beta_t, dstate_new = model.decode_step(
-                params, tokens.reshape(B * W), vg_t, dstate, V_t, sentinel_prev, pv=pv_t
+            # per-row top-W (+ log-softmax normalizer) instead of full logits:
+            # exact — the global top-W over beam x vocab candidates includes
+            # at most W continuations of any single source beam (models/
+            # decoders.py::beam_decode_step; fused in Pallas on TPU)
+            logp_top, tok_top, alpha, beta_t, dstate_new = model.beam_decode_step(
+                params, tokens.reshape(B * W), vg_t, dstate, V_t, W,
+                sentinel_prev, pv=pv_t, head=head,
             )
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(B, W, -1)
-            Vc = logp.shape[-1]
+            logp_top = logp_top.reshape(B, W, W)
+            tok_top = tok_top.reshape(B, W, W)
 
             # finished beams: only the <end> continuation, at no cost
-            eos_only = jnp.full((B, W, Vc), NEG_INF).at[:, :, eos].set(0.0)
-            logp = jnp.where(finished[..., None], eos_only, logp)
+            eos_row = jnp.where(jnp.arange(W) == 0, 0.0, NEG_INF).astype(
+                logp_top.dtype
+            )
+            logp_top = jnp.where(finished[..., None], eos_row, logp_top)
+            tok_top = jnp.where(finished[..., None], eos, tok_top)
 
-            cand = scores[..., None] + logp  # [B, W, Vc]
-            flat = cand.reshape(B, W * Vc)
+            cand = scores[..., None] + logp_top  # [B, W, W]
+            flat = cand.reshape(B, W * W)
             top_scores, top_idx = jax.lax.top_k(flat, W)  # [B, W]
-            src_beam = top_idx // Vc
-            new_tok = (top_idx % Vc).astype(jnp.int32)
+            src_beam = top_idx // W
+            new_tok = jnp.take_along_axis(tok_top.reshape(B, W * W), top_idx, axis=1)
 
             # reorder per-beam state/history by source beam
             def gather_beams(x):  # [B*W, ...] -> gathered [B*W, ...]

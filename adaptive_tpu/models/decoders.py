@@ -288,3 +288,44 @@ def greedy_decode_step(
         pv=pv, use_pallas=use_pallas,
     )
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), alpha, beta, st
+
+
+def beam_decode_step(
+    params: Dict, spec: DecoderSpec, token: jnp.ndarray, v_g: jnp.ndarray,
+    state: DecodeState, V: jnp.ndarray, k: int,
+    sentinel_uses_prev_hidden: bool = False, pv: Optional[jnp.ndarray] = None,
+    head=None, use_pallas: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, DecodeState]:
+    """One BEAM step: token [B] -> (logp_top [B,k] f32 normalized log-probs,
+    tok_top [B,k] i32, alpha, beta, state').
+
+    Per-row top-k is exact for beam search: the global top-k over all
+    beam*vocab candidates contains at most k continuations of any one source
+    beam, so each row's k best cover every possible winner — the [B, W*Vc]
+    flat top_k the naive formulation needs (and its full-logit
+    materialization) is avoided. With use_pallas + the adaptive variant the
+    vocab head matmul, the per-row top-k, and the log-softmax normalizer run
+    inside one Pallas kernel against the hoisted `head` (prepare_greedy_head)
+    — the [B, ~10k] logits never touch HBM (ops/pallas/fused_step.py::
+    beam_head_topk). Tie order matches lax.top_k (lower token id first).
+    """
+    if use_pallas and spec.variant == "adaptive_attention" and head is not None:
+        from adaptive_tpu.ops.pallas.fused_step import beam_head_topk
+
+        emb = params["embed"][token]
+        x = jnp.concatenate([emb, v_g], axis=-1)
+        h_new, c_new, c_hat, alpha1, beta1 = _fused_cell(
+            params, x, state, sentinel_uses_prev_hidden, V, pv
+        )
+        topv, topi, lse = beam_head_topk(
+            head[0], head[1], c_hat, h_new, spec.vocab_size, k
+        )
+        return topv - lse, topi, alpha1, beta1, DecodeState(h_new, c_new, h_new)
+
+    logits, alpha, beta, st = decode_step(
+        params, spec, token, v_g, state, V, sentinel_uses_prev_hidden,
+        pv=pv, use_pallas=use_pallas,
+    )
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    topv, topi = jax.lax.top_k(logp, k)
+    return topv, topi.astype(jnp.int32), alpha, beta, st

@@ -192,6 +192,16 @@ class CaptionModel(NamedTuple):
             sentinel_uses_prev_hidden, pv=pv, head=head, use_pallas=self.use_pallas,
         )
 
+    def beam_decode_step(self, params, token, v_g, dstate, V, k,
+                         sentinel_uses_prev_hidden=False, pv=None, head=None):
+        """Beam variant returning each row's top-k normalized log-probs +
+        token ids; with Pallas + adaptive, the vocab head, per-row top-k and
+        log-softmax normalizer fuse (no logits in HBM)."""
+        return D.beam_decode_step(
+            params["decoder"], self.spec, token, v_g, dstate, V, k,
+            sentinel_uses_prev_hidden, pv=pv, head=head, use_pallas=self.use_pallas,
+        )
+
     def prepare_greedy_head(self, params):
         """Hoisted padded vocab head for greedy_decode_step (None when the
         fused path is off — the fallback reads the mlp params directly)."""

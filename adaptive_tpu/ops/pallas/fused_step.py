@@ -310,6 +310,110 @@ def greedy_head_argmax(
     return out[:B, 0]
 
 
+def _head_topk_kernel(vocab_len: int, VC: int, W: int, chat_ref, h_ref,
+                      w_ref, b_ref, topv_ref, topi_ref, lse_ref):
+    """Vocab head + per-row top-W + streaming logsumexp, logits never in HBM.
+
+    The beam-search analogue of _head_argmax_kernel: each beam row needs its
+    W best continuations (values + token ids) and the row's log-softmax
+    normalizer. Materializing the [B*W, ~10k] logits in HBM and running a
+    W*Vc-wide lax.top_k dominated the beam scan (trace: 94 of 147 ms/iter at
+    batch 1024, VALIDATION.md round 3); here the head matmul runs in VC-wide
+    chunks against the VMEM-resident weight block and only 2W+1 numbers per
+    row leave the kernel. Tie semantics match lax.top_k (equal values -> the
+    lower vocab index ranks first).
+    """
+    f32 = jnp.float32
+    z = (chat_ref[:] + h_ref[:]).astype(w_ref.dtype)  # bf16 add, like the jnp path
+    Vp = w_ref.shape[1]
+    rows = z.shape[0]
+    bv = jnp.full((rows, W), NEG, f32)       # running top-W values, desc
+    bi = jnp.full((rows, W), Vp, jnp.int32)  # running top-W vocab indices
+    m0 = jnp.full((rows, 1), NEG, f32)       # streaming logsumexp max
+    s0 = jnp.zeros((rows, 1), f32)           # streaming logsumexp sum
+    for j in range(Vp // VC):
+        w_c = w_ref[:, j * VC:(j + 1) * VC]
+        lg = jnp.dot(z, w_c, preferred_element_type=f32)
+        lg = lg + b_ref[0, j * VC:(j + 1) * VC].astype(f32)[None, :]
+        idx = jax.lax.broadcasted_iota(jnp.int32, lg.shape, 1) + j * VC
+        lg = jnp.where(idx < vocab_len, lg, NEG)  # mask_padded_vocab parity
+        # streaming logsumexp over the real vocab (masked lanes: exp(NEG)=0)
+        cm = jnp.max(lg, axis=1, keepdims=True)
+        nm = jnp.maximum(m0, cm)
+        s0 = s0 * jnp.exp(m0 - nm) + jnp.sum(jnp.exp(lg - nm), axis=1, keepdims=True)
+        m0 = nm
+        # chunk top-W by W mask-max passes (ties -> lowest index, like top_k)
+        cvs, cis = [], []
+        for _ in range(W):
+            v = jnp.max(lg, axis=1, keepdims=True)
+            i = jnp.min(jnp.where(lg == v, idx, Vp), axis=1, keepdims=True)
+            cvs.append(v)
+            cis.append(i)
+            lg = jnp.where(idx == i, NEG, lg)
+        # merge running and chunk lists (disjoint index ranges -> no dup ids)
+        conc_v = jnp.concatenate([bv] + cvs, axis=1)  # [rows, 2W]
+        conc_i = jnp.concatenate([bi] + cis, axis=1)
+        nvs, nis = [], []
+        for _ in range(W):
+            v = jnp.max(conc_v, axis=1, keepdims=True)
+            i = jnp.min(jnp.where(conc_v == v, conc_i, Vp), axis=1, keepdims=True)
+            nvs.append(v)
+            nis.append(i)
+            conc_v = jnp.where(conc_i == i, NEG, conc_v)
+        bv = jnp.concatenate(nvs, axis=1)
+        bi = jnp.concatenate(nis, axis=1)
+    topv_ref[:] = bv
+    topi_ref[:] = bi
+    lse_ref[:] = jnp.log(s0) + m0
+
+
+def beam_head_topk(
+    head_kernel: jnp.ndarray, head_bias: jnp.ndarray, chat: jnp.ndarray,
+    h: jnp.ndarray, vocab_len: int, W: int, interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """top-W of (chat+h) @ W + b over the real vocab, plus the log-softmax
+    normalizer, fused. Returns (topv [B,W] f32, topi [B,W] i32, lse [B,1] f32)
+    so topv - lse is the rows' top-W normalized log-probs.
+
+    head_kernel [H, Vp]/head_bias [Vp]: hoisted + zero-padded ONCE per decode
+    (prepare_greedy_head in models/decoders.py) — not per step.
+    """
+    B, H = chat.shape
+    Vp = head_kernel.shape[1]
+    VC = min(1280, Vp)
+    assert Vp % VC == 0, (Vp, VC)
+    BP = _round_up(B, 8)
+    Bb = min(256, BP)
+    BP = _round_up(BP, Bb)
+    padB = lambda a: jnp.pad(a, ((0, BP - B), (0, 0)))
+
+    grid = (BP // Bb,)
+    row = lambda i: (i, 0)
+    rep = lambda i: (0, 0)
+    topv, topi, lse = pl.pallas_call(
+        functools.partial(_head_topk_kernel, vocab_len, VC, W),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Bb, H), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, H), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, Vp), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp), rep, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Bb, W), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, W), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb, 1), row, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BP, W), jnp.float32),
+            jax.ShapeDtypeStruct((BP, W), jnp.int32),
+            jax.ShapeDtypeStruct((BP, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(padB(chat), padB(h), head_kernel, head_bias[None, :])
+    return topv[:B], topi[:B], lse[:B]
+
+
 def adaptive_attention_step_fused(
     atten: dict, sentinel: dict, x: jnp.ndarray, h: jnp.ndarray,
     cell: jnp.ndarray, h_prev: jnp.ndarray, V: jnp.ndarray,

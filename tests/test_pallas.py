@@ -154,6 +154,87 @@ def test_greedy_head_argmax_matches_jnp(B, H, vocab):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("B,H,vocab,W", [(4, 16, 37, 3), (5, 32, 1500, 5), (3, 16, 200, 1)])
+def test_beam_head_topk_matches_jnp(B, H, vocab, W):
+    """Fused head+top-W+logsumexp == lax.top_k(log_softmax(logits)) over the
+    real vocab: same values, same indices (incl. tie order), same normalizer."""
+    from adaptive_tpu.ops.pallas.fused_step import beam_head_topk
+
+    rng = np.random.default_rng(11)
+    f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    w, b = f(H, vocab), f(vocab)
+    chat, h = f(B, H), f(B, H)
+    logits = (chat + h) @ w + b
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    want_v, want_i = jax.lax.top_k(logp, W)
+
+    target = -(-vocab // 128) * 128
+    if target > 1280:
+        target = -(-target // 1280) * 1280
+    wp = jnp.pad(w, ((0, 0), (0, target - vocab)))
+    bp = jnp.pad(b, (0, target - vocab))
+    topv, topi, lse = beam_head_topk(wp, bp, chat, h, vocab, W, interpret=True)
+    np.testing.assert_array_equal(np.asarray(topi), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(topv - lse), np.asarray(want_v), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(lse[:, 0]),
+        np.asarray(jax.scipy.special.logsumexp(logits, axis=-1)),
+        atol=2e-5,
+    )
+
+
+def test_beam_head_topk_tie_order():
+    """Equal logits rank by ascending vocab index, matching lax.top_k."""
+    from adaptive_tpu.ops.pallas.fused_step import beam_head_topk
+
+    H, vocab, W = 8, 64, 4
+    # (chat+h) @ w with w columns equal in pairs -> exactly tied logits
+    w = jnp.zeros((H, vocab), jnp.float32)
+    w = w.at[0, 10].set(2.0).at[0, 40].set(2.0)  # tie at value 2
+    w = w.at[0, 5].set(3.0)
+    b = jnp.zeros((vocab,), jnp.float32)
+    chat = jnp.ones((2, H), jnp.float32) * 0.5
+    h = jnp.ones((2, H), jnp.float32) * 0.5
+    wp = jnp.pad(w, ((0, 0), (0, 128 - vocab)))
+    bp = jnp.pad(b, (0, 128 - vocab))
+    _, topi, _ = beam_head_topk(wp, bp, chat, h, vocab, W, interpret=True)
+    np.testing.assert_array_equal(np.asarray(topi[0, :3]), [5, 10, 40])
+
+
+def test_beam_decode_step_fused_matches_plain(tiny_cf):
+    """model.beam_decode_step with the fused head must return the same top-k
+    tokens and normalized log-probs as the XLA fallback (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adaptive_tpu.models.factory import build_model
+
+    cf = tiny_cf.replace(atten_model_name="adaptive_attention")
+    plain = build_model(cf.replace(use_pallas="never"))
+    fused = build_model(cf.replace(use_pallas="always"))
+    params, state = plain.init(jax.random.PRNGKey(1))
+
+    rng = np.random.default_rng(9)
+    H = cf.adaptive_lstm_hidden_size
+    K = (cf.train_crop_size // 32) ** 2
+    B, W = 4, 3
+    V = jnp.asarray(rng.normal(size=(B, K, H)), jnp.float32)
+    v_g = jnp.asarray(rng.normal(size=(B, cf.adaptive_word_embed_size)), jnp.float32)
+    dstate = plain.init_decode_state(
+        jnp.zeros((B, H), jnp.float32), jnp.zeros((B, H), jnp.float32)
+    )
+    tok = jnp.array([1, 2, 3, 1], jnp.int32)
+
+    ref = plain.beam_decode_step(params, tok, v_g, dstate, V, W, head=None)
+    with pltpu.force_tpu_interpret_mode():
+        head = fused.prepare_greedy_head(params)
+        got = fused.beam_decode_step(params, tok, v_g, dstate, V, W, head=head)
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]), atol=2e-4)
+
+
 def test_greedy_decode_step_fused_matches_plain(tiny_cf):
     """model.greedy_decode_step with the fused head must pick the same tokens
     as the plain logits+argmax path (interpret mode)."""
