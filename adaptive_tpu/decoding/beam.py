@@ -55,8 +55,15 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
 
         V_t, vg_t = tile(V), tile(v_g)
         pv_t = tile(model.precompute_slots(params, V))
-        dstate = model.init_decode_state(tile(h0), tile(c0))
         head = prepared.get("head")
+        if head is not None:
+            # fused-cell path: materialize tile+pad ONCE outside the scan —
+            # XLA otherwise re-broadcasts/re-pads these loop-invariant
+            # operands every step (29 ms/iter at batch 1024, VALIDATION.md)
+            from adaptive_tpu.ops.pallas.fused_step import pad_decode_slots
+
+            V_t, pv_t = pad_decode_slots(V_t, pv_t)
+        dstate = model.init_decode_state(tile(h0), tile(c0))
 
         tokens = jnp.full((B, W), start, jnp.int32)
         # only beam 0 is alive at step 0 so identical expansions don't duplicate

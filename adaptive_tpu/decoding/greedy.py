@@ -88,6 +88,10 @@ def make_greedy_decoder(model, cf):
         B = V.shape[0]
         pv = model.precompute_slots(params, V)  # hoisted out of the scan
         head = prepared["head"]  # padded vocab head, prepared offline
+        if head is not None:  # fused-cell path: hoist the slot padding too
+            from adaptive_tpu.ops.pallas.fused_step import pad_decode_slots
+
+            V, pv = pad_decode_slots(V, pv)
         dstate = model.init_decode_state(h0, c0)
         tok0 = jnp.full((B,), start, jnp.int32)
 

@@ -213,7 +213,8 @@ def decode_step(
 
     if use_pallas and spec.variant == "adaptive_attention":
         h_new, c_new, c_hat, alpha1, beta1 = _fused_cell(
-            params, x, state, sentinel_uses_prev_hidden, V, pv
+            params, x, state, sentinel_uses_prev_hidden, V, pv,
+            real_k=spec.num_slots,
         )
         logits = mask_padded_vocab(spec, _inits.linear(params["adaptive"]["mlp"], c_hat + h_new))
         return logits, alpha1, beta1, DecodeState(h_new, c_new, h_new)
@@ -231,10 +232,12 @@ def decode_step(
     return scores[:, 0, :], alpha[:, 0, :], beta[:, 0, :], DecodeState(h, c, h_new)
 
 
-def _fused_cell(params, x, state, sentinel_uses_prev_hidden, V, pv):
+def _fused_cell(params, x, state, sentinel_uses_prev_hidden, V, pv, real_k=None):
     """Fully fused decode cell: LSTM recurrence + sentinel + attention in one
     Pallas kernel (SURVEY §7 step 6); the input projection stays an XLA
-    full-batch MXU matmul."""
+    full-batch MXU matmul. real_k: the true slot count when V/pv arrive
+    pre-padded to the kernel's 64-lane alignment (pad_decode_slots — the
+    decode scans hoist that pad out of the loop)."""
     from adaptive_tpu.ops.pallas import adaptive_decode_cell_fused
 
     block = params["adaptive"]
@@ -243,7 +246,7 @@ def _fused_cell(params, x, state, sentinel_uses_prev_hidden, V, pv):
         pv = V @ block["atten"]["affine_v"]["kernel"]
     return adaptive_decode_cell_fused(
         params["lstm"], block["atten"], block["sentinel"], x,
-        state.h, state.c, hp, V, pv,
+        state.h, state.c, hp, V, pv, real_k=real_k,
     )
 
 
@@ -278,7 +281,8 @@ def greedy_decode_step(
         emb = params["embed"][token]
         x = jnp.concatenate([emb, v_g], axis=-1)
         h_new, c_new, c_hat, alpha1, beta1 = _fused_cell(
-            params, x, state, sentinel_uses_prev_hidden, V, pv
+            params, x, state, sentinel_uses_prev_hidden, V, pv,
+            real_k=spec.num_slots,
         )
         nxt = greedy_head_argmax(head[0], head[1], c_hat, h_new, spec.vocab_size)
         return nxt, alpha1, beta1, DecodeState(h_new, c_new, h_new)
@@ -315,7 +319,8 @@ def beam_decode_step(
         emb = params["embed"][token]
         x = jnp.concatenate([emb, v_g], axis=-1)
         h_new, c_new, c_hat, alpha1, beta1 = _fused_cell(
-            params, x, state, sentinel_uses_prev_hidden, V, pv
+            params, x, state, sentinel_uses_prev_hidden, V, pv,
+            real_k=spec.num_slots,
         )
         topv, topi, lse = beam_head_topk(
             head[0], head[1], c_hat, h_new, spec.vocab_size, k

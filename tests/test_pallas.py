@@ -101,6 +101,45 @@ def test_fused_decode_cell_matches_jnp(B, K, H, E2):
     np.testing.assert_allclose(np.asarray(got_beta), np.asarray(want_beta[:, 0]), atol=1e-5)
 
 
+def test_fused_decode_cell_prepadded_slots_match(tiny_cf):
+    """pad_decode_slots + real_k (the decode scans' hoisted-pad path) must
+    yield bit-identical outputs to passing the unpadded V/pv."""
+    from adaptive_tpu.ops.pallas.fused_step import (
+        adaptive_decode_cell_fused, pad_decode_slots,
+    )
+
+    rng = np.random.default_rng(3)
+    B, K, H, E2 = 5, 49, 32, 12
+    D = K
+    f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    atten = {
+        "affine_v": {"kernel": f(H, D)},
+        "affine_g": {"kernel": f(H, D)},
+        "affine_s": {"kernel": f(H, D)},
+        "affine_h": {"kernel": f(D, 1)},
+    }
+    sentinel = {"affine_x": {"kernel": f(E2, H)}, "affine_h": {"kernel": f(H, H)}}
+    lstm = {
+        "w_ih": f(E2, 4 * H), "w_hh": f(H, 4 * H) * 0.2,
+        "b_ih": f(4 * H) * 0.1, "b_hh": f(4 * H) * 0.1,
+    }
+    x, h_in, c_in, hp = f(B, E2), f(B, H), f(B, H), f(B, H)
+    V = f(B, K, H)
+    pv = att.precompute_slots(atten, V)
+
+    plain = adaptive_decode_cell_fused(
+        lstm, atten, sentinel, x, h_in, c_in, hp, V, pv, interpret=True
+    )
+    Vp, pvp = pad_decode_slots(V, pv)
+    assert Vp.shape == (B, 64, H) and pvp.shape == (B, 64, 64)
+    padded = adaptive_decode_cell_fused(
+        lstm, atten, sentinel, x, h_in, c_in, hp, Vp, pvp, real_k=K, interpret=True
+    )
+    for name, a, b in zip(("h", "c", "chat", "alpha", "beta"), padded, plain):
+        assert a.shape == b.shape, name
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
 def test_fused_decode_cell_in_decode_step(tiny_cf):
     """decode_step with use_pallas on (interpret mode) must equal the jnp
     path end-to-end — logits, attention, beta, and the carried state."""
