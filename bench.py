@@ -258,9 +258,11 @@ def main():
                         "decode ms + encoder MXU%%) to the JSON line via a trace capture")
     args = p.parse_args()
     if not args.batch:
-        # decode 1024: amortizes the per-step fixed costs of the 30-token scan
-        # (8,482 vs 7,982 captions/s at 512 on v5e, VALIDATION.md round 3)
-        args.batch = 1024 if args.mode == "decode" else 256
+        # decode 2048: best measured (9,107 vs 8,885 at 1024 vs 8,455 at 4096
+        # on v5e) once the decode scan's in-loop pad/tile rematerialization
+        # was hoisted (VALIDATION.md round-3 beam ladder) — before that fix,
+        # >1024 lost and 1024 was the sweet spot
+        args.batch = 2048 if args.mode == "decode" else 256
 
     from adaptive_tpu.utils.profiling import profile_trace
 
