@@ -213,9 +213,12 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
         print("#------------------Training for Epoch %d----------------#" % epoch)
         if epoch > cf.opt_fine_tune_cnn_start_epoch:  # train.py:89-90
             encoder_opt_flag = True
-        # the batch plan is a pure function of seed+epoch: pin it to the epoch
-        # number so a resumed run replays the same plan as the uninterrupted one
-        loader.epoch = epoch
+        # the batch plan is a pure function of seed+plan-index: pin it to the
+        # epoch so a resumed run replays the same plan as the uninterrupted
+        # one. epoch-1 keeps the historical stream (epochs number from 1,
+        # train.py:85; plan indices from 0) — a fresh run realizes the exact
+        # same shuffles as before this pin existed.
+        loader.epoch = epoch - 1
         resuming_mid_epoch = epoch == start_epoch and start_step > 0
 
         if resuming_mid_epoch:
