@@ -71,15 +71,16 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
             jnp.where(jnp.arange(W) == 0, 0.0, NEG_INF)[None, :], (B, W)
         ).astype(jnp.float32)
         finished = jnp.zeros((B, W), bool)
-        ids_buf = jnp.zeros((B, W, max_len), jnp.int32)
-        # per-beam attention/beta history rides the same source-beam reorder as
-        # ids_buf, so the winning beam's maps match its token path (sampler
-        # contract parity: adaptive_attention.py:168-216 returns ids+attn+beta)
-        att_buf = jnp.zeros((B, W, max_len, K), jnp.float32)
-        beta_buf = jnp.zeros((B, W, max_len), jnp.float32)
 
         def step(carry, _):
-            tokens, scores, finished, dstate, ids_buf, att_buf, beta_buf, t = carry
+            # Histories (tokens, attention, beta) are NOT carried/reordered in
+            # the loop: the scan emits per-step (token, parent pointer, raw
+            # alpha/beta) and the paths are reconstructed by one backward
+            # pass afterwards — the classic backpointer formulation. This
+            # drops ~6 sequential gather/update ops per step from the
+            # latency-bound loop body (the old carries reordered a
+            # [B,W,L,K] buffer every step).
+            tokens, scores, finished, dstate = carry
             # per-row top-W (+ log-softmax normalizer) instead of full logits:
             # exact — the global top-W over beam x vocab candidates includes
             # at most W continuations of any single source beam (models/
@@ -104,7 +105,8 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
             src_beam = top_idx // W
             new_tok = jnp.take_along_axis(tok_top.reshape(B, W * W), top_idx, axis=1)
 
-            # reorder per-beam state/history by source beam
+            # reorder the recurrent state by source beam (the one reorder the
+            # recurrence genuinely needs)
             def gather_beams(x):  # [B*W, ...] -> gathered [B*W, ...]
                 xw = x.reshape(B, W, *x.shape[1:])
                 return jnp.take_along_axis(
@@ -112,26 +114,42 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
                 ).reshape(B * W, *x.shape[1:])
 
             dstate_new = jax.tree.map(gather_beams, dstate_new)
-            ids_buf = jnp.take_along_axis(ids_buf, src_beam[..., None], axis=1)
-            ids_buf = ids_buf.at[:, :, t].set(new_tok)
-            # step-t maps belong to the SOURCE beam that produced the token
-            alpha_w = alpha.astype(jnp.float32).reshape(B, W, K)
-            beta_w = beta_t.astype(jnp.float32).reshape(B, W)
-            att_buf = jnp.take_along_axis(att_buf, src_beam[..., None, None], axis=1)
-            att_buf = att_buf.at[:, :, t].set(
-                jnp.take_along_axis(alpha_w, src_beam[..., None], axis=1)
-            )
-            beta_buf = jnp.take_along_axis(beta_buf, src_beam[..., None], axis=1)
-            beta_buf = beta_buf.at[:, :, t].set(
-                jnp.take_along_axis(beta_w, src_beam, axis=1)
-            )
             finished = jnp.take_along_axis(finished, src_beam, axis=1) | (new_tok == eos)
-            return (new_tok, top_scores, finished, dstate_new, ids_buf, att_buf, beta_buf, t + 1), None
+            ys = (
+                new_tok, src_beam,
+                # step-t maps belong to the SOURCE row that produced the
+                # token — stored raw, resolved during reconstruction
+                alpha.astype(jnp.float32).reshape(B, W, K),
+                beta_t.astype(jnp.float32).reshape(B, W),
+            )
+            return (new_tok, top_scores, finished, dstate_new), ys
 
-        carry = (tokens, scores, finished, dstate, ids_buf, att_buf, beta_buf, jnp.int32(0))
-        (tokens, scores, finished, dstate, ids_buf, att_buf, beta_buf, _), _ = jax.lax.scan(
+        carry = (tokens, scores, finished, dstate)
+        (tokens, scores, finished, dstate), (tok_hist, parent_hist, alpha_hist, beta_hist) = jax.lax.scan(
             step, carry, None, length=max_len
         )
+
+        # Backward path reconstruction: walk the parent pointers from the
+        # final beam slots to t=0, resolving each step's token and its source
+        # row's attention/beta (sampler contract parity:
+        # adaptive_attention.py:168-216 returns ids + attention + beta).
+        def back(ptr, ys_t):
+            tok_t, parent_t, alpha_t, beta_t = ys_t
+            tok = jnp.take_along_axis(tok_t, ptr, axis=1)          # [B,W]
+            src = jnp.take_along_axis(parent_t, ptr, axis=1)       # [B,W]
+            att = jnp.take_along_axis(alpha_t, src[..., None], axis=1)  # [B,W,K]
+            beta = jnp.take_along_axis(beta_t, src, axis=1)        # [B,W]
+            return src, (tok, att, beta)
+
+        ptr0 = jnp.broadcast_to(jnp.arange(W)[None, :], (B, W))
+        _, (ids_rev, att_rev, beta_rev) = jax.lax.scan(
+            back, ptr0, (tok_hist, parent_hist, alpha_hist, beta_hist),
+            reverse=True,
+        )
+        # reverse-scan ys keep input order (index 0 == t=0): [L,B,W,...] -> [B,W,L,...]
+        ids_buf = jnp.moveaxis(ids_rev, 0, 2)
+        att_buf = jnp.moveaxis(att_rev, 0, 2)
+        beta_buf = jnp.moveaxis(beta_rev, 0, 2)
 
         if length_alpha > 0:
             lengths = jnp.sum(jnp.cumsum(ids_buf == eos, axis=-1) == 0, axis=-1) + 1
