@@ -408,7 +408,13 @@ def beam_head_topk(
     VC = min(1280, Vp)
     assert Vp % VC == 0, (Vp, VC)
     BP = _round_up(B, 8)
-    Bb = min(256, BP)
+    # Bb 128 (vs the greedy argmax kernel's 256): the top-W working set
+    # (chunk lg + 2W merge lists) on top of the resident 10.5 MB head block
+    # overflows the 16 MB scoped-vmem budget at Bb=256 for W=5 (measured:
+    # "Scoped allocation with size 16.64M" compile OOM at batch 256, W=5).
+    # The head block's DMA is unaffected — its index map is constant, so it
+    # stays resident across grid steps regardless of Bb.
+    Bb = min(128, BP)
     BP = _round_up(BP, Bb)
     padB = lambda a: jnp.pad(a, ((0, BP - B), (0, 0)))
 
