@@ -53,16 +53,23 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
         def tile(x):  # [B, ...] -> [B*W, ...]
             return jnp.repeat(x, W, axis=0)
 
-        V_t, vg_t = tile(V), tile(v_g)
-        pv_t = tile(model.precompute_slots(params, V))
+        vg_t = tile(v_g)
+        pv = model.precompute_slots(params, V)
         head = prepared.get("head")
         if head is not None:
-            # fused-cell path: materialize tile+pad ONCE outside the scan —
-            # XLA otherwise re-broadcasts/re-pads these loop-invariant
-            # operands every step (29 ms/iter at batch 1024, VALIDATION.md)
+            # fused-cell path: V/pv stay UNTILED (beam-major slot sharing —
+            # the kernel maps each image's slots to its W beam rows, so the
+            # 200 MB-class V stream rides HBM once per step, not W times) and
+            # the pad is materialized ONCE outside the scan — XLA otherwise
+            # re-pads these loop-invariant operands every step (29 ms/iter at
+            # batch 1024, VALIDATION.md round-3 beam ladder)
             from adaptive_tpu.ops.pallas.fused_step import pad_decode_slots
 
-            V_t, pv_t = pad_decode_slots(V_t, pv_t)
+            V_t, pv_t = pad_decode_slots(V, pv)
+            beam_w = W
+        else:
+            V_t, pv_t = tile(V), tile(pv)
+            beam_w = 1
         dstate = model.init_decode_state(tile(h0), tile(c0))
 
         tokens = jnp.full((B, W), start, jnp.int32)
@@ -87,7 +94,7 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
             # decoders.py::beam_decode_step; fused in Pallas on TPU)
             logp_top, tok_top, alpha, beta_t, dstate_new = model.beam_decode_step(
                 params, tokens.reshape(B * W), vg_t, dstate, V_t, W,
-                sentinel_prev, pv=pv_t, head=head,
+                sentinel_prev, pv=pv_t, head=head, beam_w=beam_w,
             )
             logp_top = logp_top.reshape(B, W, W)
             tok_top = tok_top.reshape(B, W, W)

@@ -232,12 +232,15 @@ def decode_step(
     return scores[:, 0, :], alpha[:, 0, :], beta[:, 0, :], DecodeState(h, c, h_new)
 
 
-def _fused_cell(params, x, state, sentinel_uses_prev_hidden, V, pv, real_k=None):
+def _fused_cell(params, x, state, sentinel_uses_prev_hidden, V, pv, real_k=None,
+                beam_w=1):
     """Fully fused decode cell: LSTM recurrence + sentinel + attention in one
     Pallas kernel (SURVEY §7 step 6); the input projection stays an XLA
     full-batch MXU matmul. real_k: the true slot count when V/pv arrive
     pre-padded to the kernel's 64-lane alignment (pad_decode_slots — the
-    decode scans hoist that pad out of the loop)."""
+    decode scans hoist that pad out of the loop). beam_w > 1: V/pv arrive
+    UNTILED ([B,...] vs the [B*W,...] rows) and the kernel shares each
+    image's slots across its W beam rows — one HBM stream instead of W."""
     from adaptive_tpu.ops.pallas import adaptive_decode_cell_fused
 
     block = params["adaptive"]
@@ -246,7 +249,7 @@ def _fused_cell(params, x, state, sentinel_uses_prev_hidden, V, pv, real_k=None)
         pv = V @ block["atten"]["affine_v"]["kernel"]
     return adaptive_decode_cell_fused(
         params["lstm"], block["atten"], block["sentinel"], x,
-        state.h, state.c, hp, V, pv, real_k=real_k,
+        state.h, state.c, hp, V, pv, real_k=real_k, beam_w=beam_w,
     )
 
 
@@ -298,7 +301,7 @@ def beam_decode_step(
     params: Dict, spec: DecoderSpec, token: jnp.ndarray, v_g: jnp.ndarray,
     state: DecodeState, V: jnp.ndarray, k: int,
     sentinel_uses_prev_hidden: bool = False, pv: Optional[jnp.ndarray] = None,
-    head=None, use_pallas: bool = False,
+    head=None, use_pallas: bool = False, beam_w: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, DecodeState]:
     """One BEAM step: token [B] -> (logp_top [B,k] f32 normalized log-probs,
     tok_top [B,k] i32, alpha, beta, state').
@@ -312,6 +315,10 @@ def beam_decode_step(
     inside one Pallas kernel against the hoisted `head` (prepare_greedy_head)
     — the [B, ~10k] logits never touch HBM (ops/pallas/fused_step.py::
     beam_head_topk). Tie order matches lax.top_k (lower token id first).
+
+    beam_w > 1: V/pv arrive UNTILED with one row per image while token/state
+    carry beam_w batch-major rows per image; the fused cell streams each
+    image's slots once (beam-major layout). The fallback path tiles them.
     """
     if use_pallas and spec.variant == "adaptive_attention" and head is not None:
         from adaptive_tpu.ops.pallas.fused_step import beam_head_topk
@@ -320,13 +327,16 @@ def beam_decode_step(
         x = jnp.concatenate([emb, v_g], axis=-1)
         h_new, c_new, c_hat, alpha1, beta1 = _fused_cell(
             params, x, state, sentinel_uses_prev_hidden, V, pv,
-            real_k=spec.num_slots,
+            real_k=spec.num_slots, beam_w=beam_w,
         )
         topv, topi, lse = beam_head_topk(
             head[0], head[1], c_hat, h_new, spec.vocab_size, k
         )
         return topv - lse, topi, alpha1, beta1, DecodeState(h_new, c_new, h_new)
 
+    if beam_w > 1:  # dense fallback consumes per-row slots
+        V = jnp.repeat(V, beam_w, axis=0)
+        pv = None if pv is None else jnp.repeat(pv, beam_w, axis=0)
     logits, alpha, beta, st = decode_step(
         params, spec, token, v_g, state, V, sentinel_uses_prev_hidden,
         pv=pv, use_pallas=use_pallas,

@@ -193,13 +193,16 @@ class CaptionModel(NamedTuple):
         )
 
     def beam_decode_step(self, params, token, v_g, dstate, V, k,
-                         sentinel_uses_prev_hidden=False, pv=None, head=None):
+                         sentinel_uses_prev_hidden=False, pv=None, head=None,
+                         beam_w=1):
         """Beam variant returning each row's top-k normalized log-probs +
         token ids; with Pallas + adaptive, the vocab head, per-row top-k and
-        log-softmax normalizer fuse (no logits in HBM)."""
+        log-softmax normalizer fuse (no logits in HBM). beam_w > 1 takes
+        UNTILED V/pv (beam-major slot sharing in the fused cell)."""
         return D.beam_decode_step(
             params["decoder"], self.spec, token, v_g, dstate, V, k,
             sentinel_uses_prev_hidden, pv=pv, head=head, use_pallas=self.use_pallas,
+            beam_w=beam_w,
         )
 
     def prepare_greedy_head(self, params):

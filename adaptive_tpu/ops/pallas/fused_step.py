@@ -23,6 +23,7 @@ path. Reference math: adaptive_attention.py:26-85.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -94,9 +95,10 @@ def _kernel(K: int, x_ref, h_ref, cell_ref, hp_ref, pv_ref, V_ref,
     beta_ref[:] = beta.astype(beta_ref.dtype)
 
 
-def _cell_kernel(K: int, H: int, gx_ref, h_ref, c_ref, x_ref, hp_ref, pv_ref, V_ref,
-                 whh_ref, bhh_ref, wx_ref, whs_ref, wg_ref, ws_ref, wh_ref,
-                 hnew_ref, cnew_ref, chat_ref, alpha_ref, beta_ref):
+def _cell_kernel(K: int, H: int, W: int, gx_ref, h_ref, c_ref, x_ref, hp_ref,
+                 pv_ref, V_ref, whh_ref, bhh_ref, wx_ref, whs_ref, wg_ref,
+                 ws_ref, wh_ref, hnew_ref, cnew_ref, chat_ref, alpha_ref,
+                 beta_ref):
     """LSTM cell + sentinel + adaptive attention in one VMEM-resident kernel
     (SURVEY.md §7 step 6 / hard part #1: the fused decode cell).
 
@@ -104,6 +106,13 @@ def _cell_kernel(K: int, H: int, gx_ref, h_ref, c_ref, x_ref, hp_ref, pv_ref, V_
     batched matmul outside (cuDNN-style split, ops/lstm.py); the recurrence
     h@W_hh, the gate nonlinearities, and the whole attention block run here —
     h_new/c_new/c_hat never round-trip HBM between those stages.
+
+    W: beam-major V/pv sharing. With W > 1 the row block holds W consecutive
+    beam rows per image (batch-major repeat layout, row r -> image r // W)
+    while the pv/V blocks hold ONE copy per image (Bb // W rows) — the
+    loop-invariant [B,K,H] V and [B,K,D] pv stream from HBM once per step
+    instead of W times (beam-3 at batch 1024: 3x 200 MB -> 1x, VALIDATION.md
+    round-3 beam ladder). W == 1 is the dense per-row layout (greedy).
     """
     f32 = jnp.float32
     h_in = h_ref[:].astype(f32)
@@ -133,8 +142,22 @@ def _cell_kernel(K: int, H: int, gx_ref, h_ref, c_ref, x_ref, hp_ref, pv_ref, V_
     ph = jnp.dot(h, wg_ref[:].astype(f32), preferred_element_type=f32)
     wh = wh_ref[:].astype(f32)
 
-    content = jnp.tanh(pv_ref[:].astype(f32) + ph[:, None, :])
-    z = jnp.sum(content * wh[None, :, :], axis=-1)
+    pv = pv_ref[:].astype(f32)  # [Bb//W, KP, DP]
+    if W == 1:
+        content = jnp.tanh(pv + ph[:, None, :])
+        z = jnp.sum(content * wh[None, :, :], axis=-1)
+    else:
+        Bb = ph.shape[0]
+        Bw, DP = Bb // W, ph.shape[1]
+        ph3 = ph.reshape(Bw, W, DP)
+        # per-beam pass over the SHARED pv block; [Bw,W,KP] -> row-major [Bb,KP]
+        z = jnp.stack(
+            [
+                jnp.sum(jnp.tanh(pv + ph3[:, w, None, :]) * wh[None, :, :], axis=-1)
+                for w in range(W)
+            ],
+            axis=1,
+        ).reshape(Bb, pv.shape[1])
     KP = z.shape[1]
     kmask = jax.lax.broadcasted_iota(jnp.int32, (1, KP), 1) < K
     z = jnp.where(kmask, z, NEG)
@@ -153,7 +176,15 @@ def _cell_kernel(K: int, H: int, gx_ref, h_ref, c_ref, x_ref, hp_ref, pv_ref, V_
     denom2 = denom * jnp.exp(m - m2) + jnp.exp(z_s - m2)
     beta = jnp.exp(z_s - m2) / denom2
 
-    ctx = jnp.sum(alpha[:, :, None] * V_ref[:].astype(f32), axis=1)
+    Vb = V_ref[:].astype(f32)  # [Bb//W, KP, Hv]
+    if W == 1:
+        ctx = jnp.sum(alpha[:, :, None] * Vb, axis=1)
+    else:
+        alpha3 = alpha.reshape(Bw, W, KP)
+        ctx = jnp.stack(
+            [jnp.sum(alpha3[:, w, :, None] * Vb, axis=1) for w in range(W)],
+            axis=1,
+        ).reshape(Bb, Vb.shape[-1])
     hnew_ref[:] = h.astype(hnew_ref.dtype)
     cnew_ref[:] = cell.astype(cnew_ref.dtype)
     chat_ref[:] = (beta * s + (1.0 - beta) * ctx).astype(chat_ref.dtype)
@@ -183,33 +214,53 @@ def adaptive_decode_cell_fused(
     lstm: dict, atten: dict, sentinel: dict, x: jnp.ndarray,
     h_in: jnp.ndarray, c_in: jnp.ndarray, h_prev: jnp.ndarray,
     V: jnp.ndarray, pv: jnp.ndarray, real_k: int = None,
-    interpret: bool = False,
+    beam_w: int = 1, interpret: bool = False,
 ):
     """Fused single-token decode cell: LSTM + sentinel + adaptive attention.
 
-    x [B,2E], h_in/c_in/h_prev [B,H], V [B,K,H], pv [B,K,D].
-    Returns (h_new [B,H], c_new [B,H], c_hat [B,H], alpha [B,real_k], beta
-    [B,1]). real_k: the true slot count when V/pv arrive pre-padded
-    (pad_decode_slots); defaults to V.shape[1].
+    x [R,2E], h_in/c_in/h_prev [R,H], V [B,K,H], pv [B,K,D] where
+    R == B * beam_w. Returns (h_new [R,H], c_new [R,H], c_hat [R,H],
+    alpha [R,real_k], beta [R,1]). real_k: the true slot count when V/pv
+    arrive pre-padded (pad_decode_slots); defaults to V.shape[1].
+
+    beam_w > 1: beam-major layout — rows are batch-major beam copies
+    (row r belongs to image r // beam_w, i.e. jnp.repeat order) and V/pv are
+    passed UNTILED so each image's slots stream from HBM once per step, not
+    beam_w times. beam_w == 1 is the dense greedy layout (one image per row).
     Numerics: equals lstm_cell + the jnp attention path to fp32 tolerance
     (tests/test_pallas.py, interpret mode on CPU).
     """
+    W = beam_w
     B, K_in, H = V.shape
+    R = x.shape[0]
+    if R != B * W:
+        raise ValueError(
+            f"row count {R} != V batch {B} * beam_w {W} — beam-major rows "
+            "must be batch-major beam copies (jnp.repeat layout)"
+        )
     K = real_k or K_in
     D = pv.shape[-1]
     KP, DP = _round_up(K_in, 64), _round_up(D, 64)
-    BP = _round_up(B, 8)
-    Bb = min(64, BP)
-    BP = _round_up(BP, Bb)
+    if W == 1:
+        BP = _round_up(R, 8)
+        Bb = min(64, BP)
+        BP = _round_up(BP, Bb)
+    else:
+        # the row block must hold whole beam groups (Bb % W == 0) and whole
+        # sublanes (Bb % 8 == 0); keep it near the proven 64-row block
+        base = 8 * W // math.gcd(8, W)
+        Bb = base * max(1, 64 // base)
+        BP = _round_up(R, Bb)
+    BPb = BP // W  # padded IMAGE rows for the shared V/pv operands
 
     f32 = jnp.float32
     # input projection as one full-batch MXU matmul, outside the kernel
     gx = (x @ lstm["w_ih"] + lstm["b_ih"]).astype(f32)
 
-    padB = lambda a: jnp.pad(a, ((0, BP - B),) + ((0, 0),) * (a.ndim - 1))
+    padB = lambda a: jnp.pad(a, ((0, BP - R),) + ((0, 0),) * (a.ndim - 1))
     gx_, h_, c_, x_, hp_ = (padB(t) for t in (gx, h_in, c_in, x, h_prev))
-    V_ = jnp.pad(V, ((0, BP - B), (0, KP - K_in), (0, 0)))
-    pv_ = jnp.pad(pv, ((0, BP - B), (0, KP - K_in), (0, DP - D)))
+    V_ = jnp.pad(V, ((0, BPb - B), (0, KP - K_in), (0, 0)))
+    pv_ = jnp.pad(pv, ((0, BPb - B), (0, KP - K_in), (0, DP - D)))
 
     whh = lstm["w_hh"]
     bhh = lstm["b_hh"][None, :]
@@ -230,7 +281,7 @@ def adaptive_decode_cell_fused(
     out_dtype = h_in.dtype
 
     outs = pl.pallas_call(
-        functools.partial(_cell_kernel, K, H),
+        functools.partial(_cell_kernel, K, H, W),
         grid=grid,
         in_specs=[
             pl.BlockSpec((Bb, 4 * H), row, memory_space=pltpu.VMEM),
@@ -238,8 +289,8 @@ def adaptive_decode_cell_fused(
             pl.BlockSpec((Bb, H), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((Bb, E2), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((Bb, H), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bb, KP, DP), row3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bb, KP, H), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb // W, KP, DP), row3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bb // W, KP, H), row3, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 4 * H), rep, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4 * H), rep, memory_space=pltpu.VMEM),
             pl.BlockSpec((E2, H), rep, memory_space=pltpu.VMEM),
@@ -266,7 +317,7 @@ def adaptive_decode_cell_fused(
     )(gx_, h_, c_, x_, hp_, pv_, V_, whh, bhh, wx, whs, wg, ws, wh)
 
     h_new, c_new, chat, alpha, beta = outs
-    return h_new[:B], c_new[:B], chat[:B], alpha[:B, :K], beta[:B]
+    return h_new[:R], c_new[:R], chat[:R], alpha[:R, :K], beta[:R]
 
 
 def _head_argmax_kernel(vocab_len: int, VC: int, chat_ref, h_ref, w_ref, b_ref, out_ref):

@@ -274,6 +274,134 @@ def test_beam_decode_step_fused_matches_plain(tiny_cf):
     np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]), atol=2e-4)
 
 
+@pytest.mark.parametrize("W", [2, 3, 5])
+def test_fused_decode_cell_beam_major_matches_tiled(W):
+    """beam_w > 1 (untiled V/pv, one slot stream shared by the W batch-major
+    beam rows of each image) must equal the dense beam_w=1 layout fed the
+    jnp.repeat-tiled V/pv."""
+    from adaptive_tpu.ops.pallas.fused_step import (
+        adaptive_decode_cell_fused, pad_decode_slots,
+    )
+
+    rng = np.random.default_rng(11)
+    B, K, H, E2 = 3, 49, 32, 12
+    R = B * W
+    D = K
+    f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
+    atten = {
+        "affine_v": {"kernel": f(H, D)},
+        "affine_g": {"kernel": f(H, D)},
+        "affine_s": {"kernel": f(H, D)},
+        "affine_h": {"kernel": f(D, 1)},
+    }
+    sentinel = {"affine_x": {"kernel": f(E2, H)}, "affine_h": {"kernel": f(H, H)}}
+    lstm = {
+        "w_ih": f(E2, 4 * H), "w_hh": f(H, 4 * H) * 0.2,
+        "b_ih": f(4 * H) * 0.1, "b_hh": f(4 * H) * 0.1,
+    }
+    # per-ROW states differ (each beam carries its own h/c); V/pv per image
+    x, h_in, c_in, hp = f(R, E2), f(R, H), f(R, H), f(R, H)
+    V = f(B, K, H)
+    pv = att.precompute_slots(atten, V)
+
+    V_rep, pv_rep = jnp.repeat(V, W, axis=0), jnp.repeat(pv, W, axis=0)
+    want = adaptive_decode_cell_fused(
+        lstm, atten, sentinel, x, h_in, c_in, hp, V_rep, pv_rep, interpret=True
+    )
+    Vp, pvp = pad_decode_slots(V, pv)
+    got = adaptive_decode_cell_fused(
+        lstm, atten, sentinel, x, h_in, c_in, hp, Vp, pvp, real_k=K,
+        beam_w=W, interpret=True,
+    )
+    for name, a, b in zip(("h", "c", "chat", "alpha", "beta"), got, want):
+        assert a.shape == b.shape, name
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, err_msg=name
+        )
+
+
+def test_fused_decode_cell_beam_major_bad_rows():
+    """Row count must equal B * beam_w — a tiled-V mistake fails loudly."""
+    from adaptive_tpu.ops.pallas.fused_step import adaptive_decode_cell_fused
+
+    f = lambda *s: jnp.zeros(s, jnp.float32)
+    atten = {k: {"kernel": f(8, 8)} for k in ("affine_v", "affine_g", "affine_s")}
+    atten["affine_h"] = {"kernel": f(8, 1)}
+    sentinel = {"affine_x": {"kernel": f(4, 8)}, "affine_h": {"kernel": f(8, 8)}}
+    lstm = {"w_ih": f(4, 32), "w_hh": f(8, 32), "b_ih": f(32), "b_hh": f(32)}
+    with pytest.raises(ValueError, match="beam-major"):
+        adaptive_decode_cell_fused(
+            lstm, atten, sentinel, f(5, 4), f(5, 8), f(5, 8), f(5, 8),
+            f(2, 8, 8), f(2, 8, 8), beam_w=3, interpret=True,
+        )
+
+
+def test_beam_decode_step_beam_major_matches_plain(tiny_cf):
+    """model.beam_decode_step with beam_w=W (untiled V/pv) must match the XLA
+    fallback fed per-row states — the production beam layout end-to-end."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adaptive_tpu.models.factory import build_model
+
+    cf = tiny_cf.replace(atten_model_name="adaptive_attention")
+    plain = build_model(cf.replace(use_pallas="never"))
+    fused = build_model(cf.replace(use_pallas="always"))
+    params, state = plain.init(jax.random.PRNGKey(1))
+
+    rng = np.random.default_rng(13)
+    H = cf.adaptive_lstm_hidden_size
+    K = (cf.train_crop_size // 32) ** 2
+    B, W = 2, 3
+    R = B * W
+    V = jnp.asarray(rng.normal(size=(B, K, H)), jnp.float32)
+    v_g = jnp.asarray(rng.normal(size=(R, cf.adaptive_word_embed_size)), jnp.float32)
+    dstate = plain.init_decode_state(
+        jnp.asarray(rng.normal(size=(R, H)), jnp.float32),
+        jnp.asarray(rng.normal(size=(R, H)), jnp.float32),
+    )
+    tok = jnp.asarray(rng.integers(0, cf.vocab_length, R), jnp.int32)
+
+    # fallback with beam_w: repeats V internally (per-row slots)
+    ref = plain.beam_decode_step(params, tok, v_g, dstate, V, W, head=None, beam_w=W)
+    with pltpu.force_tpu_interpret_mode():
+        head = fused.prepare_greedy_head(params)
+        got = fused.beam_decode_step(params, tok, v_g, dstate, V, W, head=head, beam_w=W)
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got[3]), np.asarray(ref[3]), atol=2e-4)
+    for a, b in zip(got[4], ref[4]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_beam_decoder_fused_matches_plain(tiny_cf):
+    """make_beam_decoder end-to-end: the fused beam-major program (interpret
+    mode) must pick the same captions and scores as the XLA fallback."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adaptive_tpu.decoding import make_beam_decoder
+    from adaptive_tpu.models.factory import build_model
+
+    cf = tiny_cf.replace(atten_model_name="adaptive_attention", decode_max_len=5)
+    plain = build_model(cf.replace(use_pallas="never"))
+    fused = build_model(cf.replace(use_pallas="always"))
+    params, state = plain.init(jax.random.PRNGKey(2))
+    imgs = np.random.default_rng(5).integers(
+        0, 255, (3, cf.train_crop_size, cf.train_crop_size, 3), dtype=np.uint8
+    )
+
+    ref = make_beam_decoder(plain, cf, beam_size=3)(params, state, imgs)
+    with pltpu.force_tpu_interpret_mode():
+        got = make_beam_decoder(fused, cf, beam_size=3)(params, state, imgs)
+    np.testing.assert_array_equal(np.asarray(got.ids), np.asarray(ref.ids))
+    np.testing.assert_array_equal(np.asarray(got.all_ids), np.asarray(ref.all_ids))
+    np.testing.assert_allclose(np.asarray(got.score), np.asarray(ref.score), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(got.attention), np.asarray(ref.attention), atol=2e-3
+    )
+    np.testing.assert_allclose(np.asarray(got.beta), np.asarray(ref.beta), atol=2e-3)
+
+
 def test_greedy_decode_step_fused_matches_plain(tiny_cf):
     """model.greedy_decode_step with the fused head must pick the same tokens
     as the plain logits+argmax path (interpret mode)."""
