@@ -171,6 +171,14 @@ class Config:
     # kept as a knob for parity experiments.
     decode_eos_token: int = 2             # <end> id, build_vocab.py:50
     decode_start_token: int = 1           # <start> id, baseline_attention.py:255
+    # Beam decode slot layout: True streams each image's V/pv into the fused
+    # cell ONCE per step with W beam rows sharing the block (beam-major,
+    # ops/pallas/fused_step.py); False is the escape hatch back to the tiled
+    # per-row layout (V/pv repeated W times — the round-3-proven path).
+    # Auto-falls back to tiled when the width is unsupported (lcm(8,W) > 64
+    # would blow the kernel's row-block VMEM budget). Bit-identical outputs
+    # either way (tests/test_beam_rescore.py).
+    decode_beam_major: bool = True
     # Mesh: axis names and sizes. -1 means "all remaining devices".
     mesh_axes: Tuple[str, ...] = ("data", "model")
     mesh_shape: Tuple[int, ...] = (-1, 1)

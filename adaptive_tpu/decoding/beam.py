@@ -41,6 +41,16 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
     # padded vocab head as greedy; the XLA fallback never reads it
     with_head = model.use_pallas and model.spec.variant == "adaptive_attention"
     prepare = prepare_cached(model, with_head=with_head)
+    if with_head:
+        from adaptive_tpu.ops.pallas.fused_step import beam_major_supported
+
+        # beam-major layout: share each image's V/pv across its W beam rows
+        # inside the fused cell. decode_beam_major=False is the escape hatch
+        # back to the tiled per-row layout; widths whose row block would
+        # exceed the kernel's VMEM budget fall back automatically.
+        beam_major = getattr(cf, "decode_beam_major", True) and beam_major_supported(W)
+    else:
+        beam_major = False
 
     @jax.jit
     def decode_prepared(prepared, images_u8) -> BeamOutput:
@@ -57,16 +67,22 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
         pv = model.precompute_slots(params, V)
         head = prepared.get("head")
         if head is not None:
-            # fused-cell path: V/pv stay UNTILED (beam-major slot sharing —
-            # the kernel maps each image's slots to its W beam rows, so the
-            # 200 MB-class V stream rides HBM once per step, not W times) and
-            # the pad is materialized ONCE outside the scan — XLA otherwise
-            # re-pads these loop-invariant operands every step (29 ms/iter at
-            # batch 1024, VALIDATION.md round-3 beam ladder)
+            # fused-cell path: the pad is materialized ONCE outside the scan —
+            # XLA otherwise re-pads these loop-invariant operands every step
+            # (measured 29 ms/iter at batch 1024, VALIDATION.md round-3 beam
+            # ladder). With beam_major, V/pv additionally stay UNTILED: the
+            # kernel maps each image's slots to its W beam rows, so the
+            # 200 MB-class V stream rides HBM once per step instead of W
+            # times (the ladder's trace showed the tiled cell streaming W
+            # copies; beam-major numbers in VALIDATION.md round-4 table).
             from adaptive_tpu.ops.pallas.fused_step import pad_decode_slots
 
-            V_t, pv_t = pad_decode_slots(V, pv)
-            beam_w = W
+            if beam_major:
+                V_t, pv_t = pad_decode_slots(V, pv)
+                beam_w = W
+            else:  # tiled fused layout (escape hatch / unsupported width)
+                V_t, pv_t = pad_decode_slots(tile(V), tile(pv))
+                beam_w = 1
         else:
             V_t, pv_t = tile(V), tile(pv)
             beam_w = 1

@@ -335,6 +335,14 @@ def beam_decode_step(
         return topv - lse, topi, alpha1, beta1, DecodeState(h_new, c_new, h_new)
 
     if beam_w > 1:  # dense fallback consumes per-row slots
+        # beam-major callers may pre-pad slots for the fused cell
+        # (pad_decode_slots) — decode_step has no padded-slot mask, so a
+        # padded V here would silently softmax over zero slots
+        if V.shape[1] != spec.num_slots:
+            raise ValueError(
+                f"beam_w={beam_w} fallback needs unpadded slots: V has "
+                f"{V.shape[1]} slots, spec.num_slots={spec.num_slots}"
+            )
         V = jnp.repeat(V, beam_w, axis=0)
         pv = None if pv is None else jnp.repeat(pv, beam_w, axis=0)
     logits, alpha, beta, st = decode_step(

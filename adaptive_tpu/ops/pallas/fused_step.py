@@ -45,6 +45,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Largest row block the fused cell has proven against the 16 MB scoped-VMEM
+# budget on v5e (greedy Bb=64; beam widths 2-8 all land at <= 64 via the
+# lcm(8, W) formula below). Widths whose lcm exceeds this (9, 11, 13, ...)
+# would silently scale the block past the proven budget — refuse them loudly;
+# beam.py routes such widths to the tiled (beam_w == 1) layout instead.
+MAX_ROW_BLOCK = 64
+
+
+def beam_major_supported(W: int) -> bool:
+    """True if the beam-major (shared V/pv) cell layout supports width W:
+    the row block must hold whole beam groups AND whole 8-row sublanes, so
+    its minimum size is lcm(8, W) — past MAX_ROW_BLOCK the VMEM budget is
+    unproven and the kernel refuses (see adaptive_decode_cell_fused)."""
+    return W == 1 or (8 * W // math.gcd(8, W)) <= MAX_ROW_BLOCK
+
+
 def _kernel(K: int, x_ref, h_ref, cell_ref, hp_ref, pv_ref, V_ref,
             wx_ref, whs_ref, wg_ref, ws_ref, wh_ref,
             chat_ref, alpha_ref, beta_ref):
@@ -111,8 +127,10 @@ def _cell_kernel(K: int, H: int, W: int, gx_ref, h_ref, c_ref, x_ref, hp_ref,
     beam rows per image (batch-major repeat layout, row r -> image r // W)
     while the pv/V blocks hold ONE copy per image (Bb // W rows) — the
     loop-invariant [B,K,H] V and [B,K,D] pv stream from HBM once per step
-    instead of W times (beam-3 at batch 1024: 3x 200 MB -> 1x, VALIDATION.md
-    round-3 beam ladder). W == 1 is the dense per-row layout (greedy).
+    instead of W times (motivation: the round-3 trace showed the tiled cell
+    streaming 3 copies of the ~200 MB V/pv at beam-3 batch 1024; measured
+    beam-major numbers in VALIDATION.md's round-4 table). W == 1 is the
+    dense per-row layout (greedy).
     """
     f32 = jnp.float32
     h_in = h_ref[:].astype(f32)
@@ -249,7 +267,14 @@ def adaptive_decode_cell_fused(
         # the row block must hold whole beam groups (Bb % W == 0) and whole
         # sublanes (Bb % 8 == 0); keep it near the proven 64-row block
         base = 8 * W // math.gcd(8, W)
-        Bb = base * max(1, 64 // base)
+        if base > MAX_ROW_BLOCK:
+            raise ValueError(
+                f"beam_w={W} needs a {base}-row block — past the proven "
+                f"{MAX_ROW_BLOCK}-row VMEM budget. Gate on "
+                "beam_major_supported(W) and fall back to the tiled layout "
+                "(beam_w=1 with V/pv repeated per beam)."
+            )
+        Bb = base * max(1, MAX_ROW_BLOCK // base)
         BP = _round_up(R, Bb)
     BPb = BP // W  # padded IMAGE rows for the shared V/pv operands
 

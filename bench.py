@@ -68,6 +68,7 @@ def _make_decode_step(args):
         compute_dtype=args.dtype,
         eval_batch_size=args.batch,
         beam_size=args.beam,
+        decode_beam_major=args.beam_major == "on",
         use_pallas=args.use_pallas,
         encoder_quant=args.quant,
         encoder_quant_granularity=args.quant_granularity,
@@ -230,6 +231,9 @@ def main():
     p.add_argument("--backbone", default="resnet152")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--beam", type=int, default=1)
+    p.add_argument("--beam-major", default="on", choices=["on", "off"],
+                   help="beam>1: share V/pv across beam rows in the fused cell "
+                        "(decode_beam_major); 'off' is the tiled-layout escape hatch")
     p.add_argument("--use-pallas", default="auto")
     p.add_argument("--quant", default="int8", help="encoder quantization: none|int8")
     p.add_argument("--quant-granularity", default="channel", choices=["channel", "tensor"],
@@ -258,11 +262,17 @@ def main():
                         "decode ms + encoder MXU%%) to the JSON line via a trace capture")
     args = p.parse_args()
     if not args.batch:
-        # decode 2048: best measured (9,107 vs 8,885 at 1024 vs 8,455 at 4096
-        # on v5e) once the decode scan's in-loop pad/tile rematerialization
-        # was hoisted (VALIDATION.md round-3 beam ladder) — before that fix,
-        # >1024 lost and 1024 was the sweet spot
-        args.batch = 2048 if args.mode == "decode" else 256
+        # Per-mode sweet spots, each measured on v5e (VALIDATION.md):
+        # * int8 decode 2048: best once the decode scan's in-loop pad/tile
+        #   rematerialization was hoisted (9,107 vs 8,885 at 1024 vs 8,455
+        #   at 4096) — before that fix, >1024 lost.
+        # * bf16 (--quant none) decode 512: its working set is ~2x int8's,
+        #   so int8's 2048 regresses it (5,601 at 512 vs 4,727 at 2048) —
+        #   auto-selected here so the exact-math mode benches at ITS best.
+        if args.mode == "decode":
+            args.batch = 2048 if args.quant == "int8" else 512
+        else:
+            args.batch = 256
 
     from adaptive_tpu.utils.profiling import profile_trace
 

@@ -402,6 +402,58 @@ def test_beam_decoder_fused_matches_plain(tiny_cf):
     np.testing.assert_allclose(np.asarray(got.beta), np.asarray(ref.beta), atol=2e-3)
 
 
+def test_beam_major_supported_widths():
+    """lcm(8, W) past the proven 64-row VMEM block is refused loudly by the
+    cell; beam_major_supported is the gate callers must use."""
+    from adaptive_tpu.ops.pallas.fused_step import (
+        adaptive_decode_cell_fused, beam_major_supported,
+    )
+
+    assert all(beam_major_supported(w) for w in (1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 16))
+    assert not any(beam_major_supported(w) for w in (9, 11, 13))
+
+    f = lambda *s: jnp.zeros(s, jnp.float32)
+    atten = {k: {"kernel": f(8, 8)} for k in ("affine_v", "affine_g", "affine_s")}
+    atten["affine_h"] = {"kernel": f(8, 1)}
+    sentinel = {"affine_x": {"kernel": f(4, 8)}, "affine_h": {"kernel": f(8, 8)}}
+    lstm = {"w_ih": f(4, 32), "w_hh": f(8, 32), "b_ih": f(32), "b_hh": f(32)}
+    with pytest.raises(ValueError, match="VMEM budget"):
+        adaptive_decode_cell_fused(
+            lstm, atten, sentinel, f(18, 4), f(18, 8), f(18, 8), f(18, 8),
+            f(2, 8, 8), f(2, 8, 8), beam_w=9, interpret=True,
+        )
+
+
+def test_beam_decoder_beam_major_escape_hatch(tiny_cf):
+    """decode_beam_major=False (the tiled-layout escape hatch) must produce
+    bit-identical captions/scores to the default beam-major program, and an
+    unsupported width must auto-fall back to tiled instead of raising."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adaptive_tpu.decoding import make_beam_decoder
+    from adaptive_tpu.models.factory import build_model
+
+    cf = tiny_cf.replace(atten_model_name="adaptive_attention", decode_max_len=4)
+    fused = build_model(cf.replace(use_pallas="always"))
+    params, state = fused.init(jax.random.PRNGKey(2))
+    imgs = np.random.default_rng(5).integers(
+        0, 255, (3, cf.train_crop_size, cf.train_crop_size, 3), dtype=np.uint8
+    )
+
+    with pltpu.force_tpu_interpret_mode():
+        major = make_beam_decoder(fused, cf, beam_size=3)(params, state, imgs)
+        tiled = make_beam_decoder(
+            fused, cf.replace(decode_beam_major=False), beam_size=3
+        )(params, state, imgs)
+        # width 9: lcm(8,9)=72 > 64 — silently routed to the tiled layout
+        w9 = make_beam_decoder(fused, cf, beam_size=9)(params, state, imgs)
+    np.testing.assert_array_equal(np.asarray(tiled.all_ids), np.asarray(major.all_ids))
+    np.testing.assert_allclose(
+        np.asarray(tiled.all_scores), np.asarray(major.all_scores), atol=1e-5
+    )
+    assert w9.all_ids.shape == (3, 9, 4)
+
+
 def test_greedy_decode_step_fused_matches_plain(tiny_cf):
     """model.greedy_decode_step with the fused head must pick the same tokens
     as the plain logits+argmax path (interpret mode)."""
