@@ -168,10 +168,17 @@ def _cell_kernel(K: int, H: int, W: int, gx_ref, h_ref, c_ref, x_ref, hp_ref,
         Bb = ph.shape[0]
         Bw, DP = Bb // W, ph.shape[1]
         ph3 = ph.reshape(Bw, W, DP)
-        # per-beam pass over the SHARED pv block; [Bw,W,KP] -> row-major [Bb,KP]
+        # per-beam pass over the SHARED pv block; [Bw,W,KP] -> row-major
+        # [Bb,KP]. Static slices (index_in_dim), NOT ph3[:, w, None, :]:
+        # integer-index + newaxis lowers to a 3D gather, which Mosaic
+        # rejects ("Only 2D gather is supported" — caught on real v5e).
         z = jnp.stack(
             [
-                jnp.sum(jnp.tanh(pv + ph3[:, w, None, :]) * wh[None, :, :], axis=-1)
+                jnp.sum(
+                    jnp.tanh(pv + jax.lax.index_in_dim(ph3, w, 1, False)[:, None, :])
+                    * wh[None, :, :],
+                    axis=-1,
+                )
                 for w in range(W)
             ],
             axis=1,
@@ -200,7 +207,13 @@ def _cell_kernel(K: int, H: int, W: int, gx_ref, h_ref, c_ref, x_ref, hp_ref,
     else:
         alpha3 = alpha.reshape(Bw, W, KP)
         ctx = jnp.stack(
-            [jnp.sum(alpha3[:, w, :, None] * Vb, axis=1) for w in range(W)],
+            [
+                jnp.sum(
+                    jax.lax.index_in_dim(alpha3, w, 1, False)[:, :, None] * Vb,
+                    axis=1,
+                )
+                for w in range(W)
+            ],
             axis=1,
         ).reshape(Bb, Vb.shape[-1])
     hnew_ref[:] = h.astype(hnew_ref.dtype)
