@@ -179,6 +179,18 @@ class Config:
     # would blow the kernel's row-block VMEM budget). Bit-identical outputs
     # either way (tests/test_beam_rescore.py).
     decode_beam_major: bool = True
+    # Early-exit decode: stop the decode loop once EVERY row (greedy) /
+    # every beam (beam search) has emitted <end>, instead of always running
+    # decode_max_len steps (the reference's fixed-30 loop,
+    # baseline_attention.py:233,263 — the default stays False for step-count
+    # parity). Implemented as a lax.while_loop over the same step function
+    # with preallocated output buffers; emitted ids are IDENTICAL (skipped
+    # steps read as the <end> padding the fixed loop would have emitted),
+    # attention/beta for steps after the global exit are zeros instead of
+    # the fixed loop's post-<end> values (cut at <end> downstream anyway,
+    # utils.py:185-190). Wins scale with how early the batch's longest
+    # caption ends (COCO mean length 10.47 vs the 30-step cap, statics:11).
+    decode_early_exit: bool = False
     # Mesh: axis names and sizes. -1 means "all remaining devices".
     mesh_axes: Tuple[str, ...] = ("data", "model")
     mesh_shape: Tuple[int, ...] = (-1, 1)

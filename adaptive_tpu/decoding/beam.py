@@ -37,6 +37,7 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
     eos = cf.decode_eos_token
     size = cf.train_crop_size
     sentinel_prev = cf.sampler_sentinel_uses_prev_hidden
+    early_exit = getattr(cf, "decode_early_exit", False)
     # the fused Pallas beam head (beam_head_topk) consumes the same hoisted
     # padded vocab head as greedy; the XLA fallback never reads it
     with_head = model.use_pallas and model.spec.variant == "adaptive_attention"
@@ -148,9 +149,45 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
             return (new_tok, top_scores, finished, dstate_new), ys
 
         carry = (tokens, scores, finished, dstate)
-        (tokens, scores, finished, dstate), (tok_hist, parent_hist, alpha_hist, beta_hist) = jax.lax.scan(
-            step, carry, None, length=max_len
-        )
+        if early_exit:
+            # decode_early_exit: stop once every beam of every image is
+            # finished. Buffer prefill reproduces the fixed loop's
+            # all-finished steps exactly: scores are sorted descending after
+            # any top_k step, so the eos-forced candidates keep slot order —
+            # parent pointers are identity and tokens <end> (ties in top_k
+            # resolve to the lower flat index, preserving order). alpha/beta
+            # tails become zeros instead of post-<end> values; the
+            # reconstruction only reads them for steps before each path's
+            # <end>, so BeamOutput paths/scores are bit-identical
+            # (tests/test_decoding.py::test_beam_early_exit_*).
+            _, ys_sd = jax.eval_shape(step, carry, None)
+            tok0_b = jnp.full((max_len,) + ys_sd[0].shape, eos, ys_sd[0].dtype)
+            par0_b = jnp.broadcast_to(
+                jnp.arange(W, dtype=ys_sd[1].dtype)[None, None, :],
+                (max_len,) + ys_sd[1].shape,
+            )
+            al0_b = jnp.zeros((max_len,) + ys_sd[2].shape, ys_sd[2].dtype)
+            be0_b = jnp.zeros((max_len,) + ys_sd[3].shape, ys_sd[3].dtype)
+
+            def cond(s):
+                t, c = s[0], s[1]
+                return (t < max_len) & ~jnp.all(c[2])
+
+            def body(s):
+                t, c, tok_b, par_b, al_b, be_b = s
+                c, (tok_t, par_t, al_t, be_t) = step(c, None)
+                upd = jax.lax.dynamic_update_index_in_dim
+                return (t + 1, c, upd(tok_b, tok_t, t, 0), upd(par_b, par_t, t, 0),
+                        upd(al_b, al_t, t, 0), upd(be_b, be_t, t, 0))
+
+            (_, (tokens, scores, finished, dstate),
+             tok_hist, parent_hist, alpha_hist, beta_hist) = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), carry, tok0_b, par0_b, al0_b, be0_b)
+            )
+        else:
+            (tokens, scores, finished, dstate), (tok_hist, parent_hist, alpha_hist, beta_hist) = jax.lax.scan(
+                step, carry, None, length=max_len
+            )
 
         # Backward path reconstruction: walk the parent pointers from the
         # final beam slots to t=0, resolving each step's token and its source

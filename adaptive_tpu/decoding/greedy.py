@@ -8,11 +8,14 @@ graph per token; here the per-step cell is scanned by XLA into one compiled
 loop, and the encoder + eval preprocessing (resize+normalize) fuse into the
 same jit.
 
-EOS behavior: like the reference, all max_len steps run (no early exit — XLA
-loops are fixed-length anyway); `finished` rows keep emitting <end> so the
-emitted tail is deterministic. Captions are cut at the first <end> downstream
+EOS behavior: like the reference, all max_len steps run by default (no early
+exit); `finished` rows keep emitting <end> so the emitted tail is
+deterministic. Captions are cut at the first <end> downstream
 (tools/utils.py:185-190), so outputs match the reference's token-for-token on
-the kept prefix.
+the kept prefix. `decode_early_exit=True` swaps the scan for a while_loop
+that stops once EVERY row is finished — ids stay bit-identical (the buffers
+are prefilled with the <end> padding the fixed loop would emit); only the
+post-global-exit attention/beta tails (discarded downstream) become zeros.
 """
 
 from __future__ import annotations
@@ -78,6 +81,7 @@ def make_greedy_decoder(model, cf):
     eos = cf.decode_eos_token
     size = cf.train_crop_size
     sentinel_prev = cf.sampler_sentinel_uses_prev_hidden
+    early_exit = getattr(cf, "decode_early_exit", False)
     prepare = prepare_cached(model)
 
     @jax.jit
@@ -104,9 +108,37 @@ def make_greedy_decoder(model, cf):
             finished = finished | (nxt == eos)
             return (nxt, dstate, finished), (nxt, alpha, beta[:, 0])
 
-        (_, _, _), (ids, alphas, betas) = jax.lax.scan(
-            step, (tok0, dstate, jnp.zeros((B,), bool)), None, length=max_len
-        )
+        carry0 = (tok0, dstate, jnp.zeros((B,), bool))
+        if early_exit:
+            # decode_early_exit: same step function under a while_loop that
+            # stops once every row has emitted <end>. Output buffers are
+            # prefilled with what the fixed loop WOULD have emitted for
+            # all-finished steps (<end> ids; attention/beta zeroed instead
+            # of the post-<end> values, cut downstream) so ids match the
+            # scan bit-for-bit.
+            _, ys_sd = jax.eval_shape(step, carry0, None)
+            ids0 = jnp.full((max_len,) + ys_sd[0].shape, eos, ys_sd[0].dtype)
+            al0 = jnp.zeros((max_len,) + ys_sd[1].shape, ys_sd[1].dtype)
+            be0 = jnp.zeros((max_len,) + ys_sd[2].shape, ys_sd[2].dtype)
+
+            def cond(s):
+                t, carry = s[0], s[1]
+                return (t < max_len) & ~jnp.all(carry[2])
+
+            def body(s):
+                t, carry, ids_b, al_b, be_b = s
+                carry, (nxt, alpha, beta) = step(carry, None)
+                upd = jax.lax.dynamic_update_index_in_dim
+                return (t + 1, carry, upd(ids_b, nxt, t, 0),
+                        upd(al_b, alpha, t, 0), upd(be_b, beta, t, 0))
+
+            _, _, ids, alphas, betas = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), carry0, ids0, al0, be0)
+            )
+        else:
+            _, (ids, alphas, betas) = jax.lax.scan(
+                step, carry0, None, length=max_len
+            )
         return GreedyOutput(
             ids=jnp.swapaxes(ids, 0, 1),
             attention=jnp.swapaxes(alphas, 0, 1),

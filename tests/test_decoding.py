@@ -157,3 +157,83 @@ def test_beam1_mostly_equals_greedy(setup):
         prefix = int(np.argmin(g[row] == b[row])) if (g[row] != b[row]).any() else g.shape[1]
         if prefix:
             np.testing.assert_allclose(ga[row, :prefix], ba[row, :prefix], atol=5e-2)
+
+
+# ---------------------------------------------------------------------------
+# decode_early_exit: while_loop short-circuit vs the reference's fixed loop
+# ---------------------------------------------------------------------------
+
+def _with_eos_bias(params, cf, boost=100.0):
+    """Params whose vocab head overwhelmingly favors <end>: every row
+    finishes at step 1, so the early-exit loop stops almost immediately."""
+    p2 = jax.tree.map(lambda x: x, params)  # new containers, shared leaves
+    mlp = dict(p2["decoder"]["adaptive"]["mlp"])
+    mlp["bias"] = mlp["bias"].at[cf.decode_eos_token].add(boost)
+    p2["decoder"]["adaptive"] = dict(p2["decoder"]["adaptive"], mlp=mlp)
+    return p2
+
+
+def _cut(row, eos):
+    hits = np.where(row == eos)[0]
+    return row[: hits[0] + 1] if hits.size else row
+
+
+def test_greedy_early_exit_matches_fixed(setup):
+    import dataclasses
+
+    cf, model, params, state, images = setup
+    cf_ee = dataclasses.replace(cf, decode_early_exit=True)
+    fixed = make_greedy_decoder(model, cf)
+    early = make_greedy_decoder(model, cf_ee)
+    for p in (params, _with_eos_bias(params, cf)):
+        a, b = fixed(p, state, images), early(p, state, images)
+        # ids are bit-identical (prefill == the fixed loop's <end> tail)
+        np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+        # attention/beta identical on every kept (cut-at-<end>) prefix
+        for r in range(images.shape[0]):
+            n = len(_cut(np.asarray(a.ids)[r], cf.decode_eos_token))
+            np.testing.assert_array_equal(
+                np.asarray(a.attention)[r, :n], np.asarray(b.attention)[r, :n])
+            np.testing.assert_array_equal(
+                np.asarray(a.beta)[r, :n], np.asarray(b.beta)[r, :n])
+
+
+def test_greedy_early_exit_actually_exits(setup):
+    """With the eos-biased head the while_loop must stop after ~1 step:
+    post-exit attention rows are the zero prefill, not computed softmaxes
+    (which would sum to 1)."""
+    import dataclasses
+
+    cf, model, params, state, images = setup
+    cf_ee = dataclasses.replace(cf, decode_early_exit=True)
+    early = make_greedy_decoder(model, cf_ee)
+    out = early(_with_eos_bias(params, cf), state, images)
+    att = np.asarray(out.attention)
+    assert (np.asarray(out.ids) == cf.decode_eos_token).all()
+    # step 0 ran (softmax sums to 1); the tail is prefill zeros
+    np.testing.assert_allclose(att[:, 0].sum(-1), 1.0, atol=1e-4)
+    assert (att[:, 2:] == 0).all()
+
+
+def test_beam_early_exit_matches_fixed(setup):
+    import dataclasses
+
+    cf, model, params, state, images = setup
+    cf_ee = dataclasses.replace(cf, decode_early_exit=True)
+    fixed = make_beam_decoder(model, cf, beam_size=3)
+    early = make_beam_decoder(model, cf_ee, beam_size=3)
+    for p in (params, _with_eos_bias(params, cf)):
+        a, b = fixed(p, state, images), early(p, state, images)
+        np.testing.assert_array_equal(np.asarray(a.all_ids), np.asarray(b.all_ids))
+        np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+        np.testing.assert_allclose(
+            np.asarray(a.all_scores), np.asarray(b.all_scores), rtol=0, atol=0)
+        np.testing.assert_allclose(
+            np.asarray(a.score), np.asarray(b.score), rtol=0, atol=0)
+        # winning path's attention/beta identical on the kept prefix
+        for r in range(images.shape[0]):
+            n = len(_cut(np.asarray(a.ids)[r], cf.decode_eos_token))
+            np.testing.assert_array_equal(
+                np.asarray(a.attention)[r, :n], np.asarray(b.attention)[r, :n])
+            np.testing.assert_array_equal(
+                np.asarray(a.beta)[r, :n], np.asarray(b.beta)[r, :n])
