@@ -72,10 +72,11 @@ class LBFGSGroup:
         loss_of_params: Callable[[Any], jnp.ndarray],
         entry: Any,
         lr: float,
-    ) -> Tuple[Any, Any, float]:
+    ) -> Tuple[Any, Any, jnp.ndarray]:
         """One torch-style optimizer.step(closure): up to max_iter L-BFGS
         iterations on this batch. Returns (new full params, new entry,
-        first loss)."""
+        first loss as a traced scalar — no host sync, so the whole train
+        step stays jittable)."""
         trainable, frozen = partition(params, self.mask)
         tx = make_lbfgs_tx(lr, self.history)
 
@@ -96,7 +97,7 @@ class LBFGSGroup:
         (trainable, entry), values = jax.lax.scan(
             body, (trainable, entry), None, length=self.max_iter
         )
-        return combine(trainable, frozen), entry, float(values[0])
+        return combine(trainable, frozen), entry, values[0]
 
 
 def make_lbfgs_train_step(model, dual, cf):
@@ -107,8 +108,10 @@ def make_lbfgs_train_step(model, dual, cf):
     steps after — adam/sgd groups reuse the initial backward's gradients,
     lbfgs groups re-evaluate the loss closure up to max_iter times on the
     same batch. BN running stats update once from the initial forward (not
-    per inner L-BFGS iteration). Host-driven (not wholly jitted): the inner
-    L-BFGS loop syncs its first loss per batch.
+    per inner L-BFGS iteration). One jitted program per encoder_on value,
+    like the adam/sgd step (step.py:167) — the inner closure loop is a
+    lax.scan, so the max_iter re-evaluations never leave the device
+    (eager dispatch through this rig's ~2 ms/op tunnel would dominate).
     """
     import optax
 
@@ -126,6 +129,10 @@ def make_lbfgs_train_step(model, dual, cf):
             dual.encoder_mask, cf.opt_cnn_lbfgs_max_iter, cf.opt_cnn_lbfgs_history
         )
 
+    # NO buffer donation here (unlike step.py:167): optax.lbfgs's curvature
+    # state holds the previous params tree, which at step 1 ALIASES the live
+    # params leaves — donating both trees donates the same buffer twice.
+    @partial(jax.jit, static_argnames=("encoder_on",))
     def train_step(params, state, opt_state, batch, rng, encoder_on=False):
         def loss_fn(p, s):
             images = train_preprocess(

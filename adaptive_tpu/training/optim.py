@@ -161,9 +161,14 @@ def make_dual_optimizer(params: Dict, cf) -> Tuple[DualOptimizer, Dict]:
 
 
 def get_lr(opt_state, group: str) -> float:
-    """Current injected learning rate of a grouped optimizer state."""
+    """Current injected learning rate of a grouped optimizer state.
+
+    Host callers (scheduler, logging) get a plain float; under a jit trace
+    (the L-BFGS train step reads the lr it feeds its inner transform,
+    lbfgs.py:150) the traced scalar is returned as-is."""
     inject = opt_state[group].inner_states["on"].inner_state
-    return float(inject.hyperparams["learning_rate"])
+    lr = inject.hyperparams["learning_rate"]
+    return lr if isinstance(lr, jax.core.Tracer) else float(lr)
 
 
 def set_lr(opt_state, group: str, lr: float):
