@@ -69,6 +69,8 @@ def _make_decode_step(args):
         eval_batch_size=args.batch,
         beam_size=args.beam,
         decode_beam_major=args.beam_major == "on",
+        decode_early_exit=args.early_exit == "on",
+        **({"decode_eos_token": args.eos_token} if args.eos_token >= 0 else {}),
         use_pallas=args.use_pallas,
         encoder_quant=args.quant,
         encoder_quant_granularity=args.quant_granularity,
@@ -129,11 +131,19 @@ def _make_train_step(args):
         compute_dtype=args.dtype,
         train_batch_size=args.batch,
         train_grad_accum_steps=args.grad_accum,
+        opt_rnn_optimization=args.decoder_opt,
     )
     model = build_model(cf)
     params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
     dual, opt_state = make_dual_optimizer(params, cf)
-    train_step = make_train_step(model, dual, cf)
+    if dual.decoder_is_lbfgs or dual.encoder_is_lbfgs:
+        # the reference's closure optimizer (train.py:197-219): each step runs
+        # opt_rnn_lbfgs_max_iter inner loss re-evaluations on the batch
+        from adaptive_tpu.training.lbfgs import make_lbfgs_train_step
+
+        train_step = make_lbfgs_train_step(model, dual, cf)
+    else:
+        train_step = make_train_step(model, dual, cf)
     rng = jax.random.PRNGKey(1)
     carry = {"params": params, "state": state, "opt": opt_state}
 
@@ -234,6 +244,15 @@ def main():
     p.add_argument("--beam-major", default="on", choices=["on", "off"],
                    help="beam>1: share V/pv across beam rows in the fused cell "
                         "(decode_beam_major); 'off' is the tiled-layout escape hatch")
+    p.add_argument("--early-exit", default="off", choices=["on", "off"],
+                   help="decode: stop the loop once every row/beam emitted <end> "
+                        "(decode_early_exit); default off = the reference's "
+                        "fixed-30 step count")
+    p.add_argument("--eos-token", type=int, default=-1,
+                   help="override decode_eos_token (measurement harness for "
+                        "--early-exit: point it at the untrained model's "
+                        "attractor token to synthesize a short-caption "
+                        "distribution; see VALIDATION.md)")
     p.add_argument("--use-pallas", default="auto")
     p.add_argument("--quant", default="int8", help="encoder quantization: none|int8")
     p.add_argument("--quant-granularity", default="channel", choices=["channel", "tensor"],
@@ -245,6 +264,9 @@ def main():
                    help="int8 fused tail+conv1 layers: auto|none|layer1,layer2,...")
     p.add_argument("--stem-s2d", default="auto", choices=["auto", "on", "off"],
                    help="int8 space-to-depth stem (bit-exact 7x7/s2 -> 4x4/s1)")
+    p.add_argument("--decoder-opt", default="adam", choices=["adam", "sgd", "lbfgs"],
+                   help="train mode: decoder optimizer group (lbfgs benches the "
+                        "closure step, train.py:197-219 parity)")
     p.add_argument("--encoder-off", action="store_true",
                    help="train mode: bench the pre-fine-tune phase (no conv bwd)")
     p.add_argument("--seq-len", type=int, default=24, help="train mode caption bucket")
