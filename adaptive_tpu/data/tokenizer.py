@@ -69,11 +69,16 @@ def split_sentences(text: str) -> List[str]:
     return [s for s in (x.strip() for x in out) if s]
 
 
+def sentence_word_tokens(sent: str) -> List[str]:
+    """Treebank tokenization of ONE sentence (no sentence splitting)."""
+    return _TREEBANK.tokenize(sent) if _TREEBANK is not None else _fallback_tokenize(sent)
+
+
 def word_tokenize(text: str) -> List[str]:
     """Treebank-style word tokenization over clean-room sentence splits."""
     toks: List[str] = []
     for sent in split_sentences(text):
-        toks.extend(_TREEBANK.tokenize(sent) if _TREEBANK is not None else _fallback_tokenize(sent))
+        toks.extend(sentence_word_tokens(sent))
     return toks
 
 

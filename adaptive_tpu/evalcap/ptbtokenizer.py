@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Dict, List
 
-from adaptive_tpu.data.tokenizer import word_tokenize
+from adaptive_tpu.data.tokenizer import sentence_word_tokens, split_sentences
 
 # ptbtokenizer.py:21-22
 PUNCTUATIONS = [
@@ -49,6 +49,21 @@ class PTBTokenizer:
 def tokenize_caption(caption: str) -> str:
     text = str(caption).replace("\n", " ").lower()
     text = _OPEN_SQUOTE.sub("' ", text)
-    toks = word_tokenize(text)
+    toks = []
+    for sent in split_sentences(text):
+        st = sentence_word_tokens(sent)
+        # CoreNLP keeps a sentence-final acronym's period ON the token and
+        # emits the terminator separately ("the u.s." -> "u.s." + "."), so
+        # after the drop list the token is "u.s." whether it ends a sentence
+        # or not; Treebank's final-period rule strips it ("u.s" + "."), which
+        # made the SAME word tokenize differently by position — not score-
+        # neutral across gts/res (tests/test_ptb_differential.py::
+        # test_acronym_cross_position_*). Reattach for dotted acronyms; plain
+        # words ("a man .") are unaffected. Vocab building (data/tokenizer.py)
+        # keeps NLTK word_tokenize semantics — this is scoring-path only.
+        if (len(st) >= 2 and st[-1] == "." and "." in st[-2]
+                and any(c.isalnum() for c in st[-2])):  # not bare ellipses
+            st[-2] += "."
+        toks.extend(st)
     toks = [_BRACKETS.get(t, t) for t in toks]
     return " ".join(t for t in toks if t not in _PUNCT_SET)

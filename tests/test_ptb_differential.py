@@ -13,10 +13,18 @@ an unambiguous expected tokenization. Tokenization feeds every caption
 metric; a drift that changes any of these outputs moves BLEU by >1e-4 on a
 matched/unmatched n-gram, which is what this corpus is built to catch.
 
-Documented deviations from CoreNLP (both rare-to-absent in COCO captions and
-consistent across gts/res so scores are unaffected): sentence-final acronyms
-("the u.s." -> "u.s" here, "u.s." + extra "." in CoreNLP) and PTB3 slash/star
-escaping ("50/50" -> "50\\/50" in CoreNLP, kept literal here).
+Deviations from CoreNLP, each either fixed or PROVEN score-neutral here:
+* sentence-final acronyms — FIXED (round 4): CoreNLP emits "u.s." + a
+  separate "." (post-drop token "u.s.", same as mid-sentence); Treebank's
+  final-period rule gave "u.s", making the same word tokenize differently by
+  position — NOT a consistent renaming, so it could move scores when gts/res
+  used an acronym in different positions. tokenize_caption now reattaches
+  the period (scoring path only; vocab building keeps NLTK semantics).
+  test_acronym_cross_position_scores pins the cross-position match.
+* PTB3 slash/star escaping ("50/50" -> "50\\/50", "*" -> "\\*" in CoreNLP;
+  kept literal here) — a bijective, position-independent token renaming
+  applied identically to gts and res; test_slash_star_escape_score_neutral
+  asserts BLEU/CIDEr/ROUGE are bit-identical under both spellings.
 """
 
 import json
@@ -90,6 +98,12 @@ CURATED = [
     ("john f. kennedy airport. planes land.",
      "john f. kennedy airport planes land"),
     ("the u.s. flag", "the u.s. flag"),
+    # sentence-final acronyms keep their period (CoreNLP: "u.s." + "." with
+    # the terminator dropped), matching the mid-sentence form above
+    ("he visits the u.s.", "he visits the u.s."),
+    ("a sign reads u.s.a.", "a sign reads u.s.a."),
+    ("it leaves at 3 p.m.", "it leaves at 3 p.m."),
+    ("he visits the u.s. the flag waves.", "he visits the u.s. the flag waves"),
     # multi-sentence captions (real COCO captions contain these)
     ("A man. A dog.", "a man a dog"),
     ("A man sits. Then he stands. Done", "a man sits then he stands done"),
@@ -115,6 +129,67 @@ def test_fakecap_corpus_tokenization():
     # the rest must at least round-trip the dict protocol without error
     out = PTBTokenizer().tokenize({i: [{"caption": c}] for i, c in enumerate(caps)})
     assert len(out) == len(caps)
+
+
+def _score_all(gts, res):
+    """(BLEU1-4, ROUGE_L, CIDEr) on already-tokenized corpora."""
+    from adaptive_tpu.evalcap.bleu import Bleu
+    from adaptive_tpu.evalcap.cider import Cider
+    from adaptive_tpu.evalcap.rouge import Rouge
+
+    bleu, _ = Bleu(4).compute_score(gts, res)
+    rouge, _ = Rouge().compute_score(gts, res)
+    cider, _ = Cider().compute_score(gts, res)
+    return tuple(bleu) + (rouge, cider)
+
+
+def test_acronym_cross_position_scores():
+    """The round-4 fix's point: an acronym used sentence-finally in res and
+    mid-sentence in gts (or vice versa) must n-gram-match. Pre-fix, res
+    'the u.s.' tokenized to 'u.s' while gts 'u.s. flag' kept 'u.s.' — the
+    unigram silently unmatched."""
+    gts = {
+        1: ["the u.s. flag waves in the wind", "a u.s. flag on a pole"],
+        2: ["a clock shows 3 p.m. on a wall", "the time is 3 p.m. exactly"],
+    }
+    res = {1: ["a flag of the u.s."], 2: ["a wall clock at 3 p.m."]}
+    gts_tok = {k: [tokenize_caption(c) for c in v] for k, v in gts.items()}
+    res_tok = {k: [tokenize_caption(c) for c in v] for k, v in res.items()}
+    # the acronym token is identical in both positions
+    assert "u.s." in res_tok[1][0].split() and "u.s." in gts_tok[1][0].split()
+    assert "p.m." in res_tok[2][0].split()
+    # and identical to the hand-expected CoreNLP post-drop tokenization
+    corenlp_res = {1: ["a flag of the u.s."], 2: ["a wall clock at 3 p.m."]}
+    assert res_tok == corenlp_res
+    # so the scores match CoreNLP's bit-for-bit
+    assert _score_all(gts_tok, res_tok) == _score_all(gts_tok, corenlp_res)
+
+
+def test_slash_star_escape_score_neutral():
+    """PTB3 escaping ('50/50' -> '50\\/50', '*' -> '\\*') is a consistent,
+    position-independent token renaming applied to gts and res alike —
+    BLEU/ROUGE/CIDEr must be bit-identical under both spellings. This is the
+    remaining documented CoreNLP deviation; this test is its neutrality
+    proof on a slash/star-heavy corpus."""
+    gts = {
+        1: ["the crowd is split 50/50 about it", "a 50/50 mix of cats and dogs"],
+        2: ["a sign with a * symbol on it", "the * marks a footnote"],
+        3: ["an either/or choice on a menu", "a menu offers an either/or deal"],
+    }
+    res = {
+        1: ["a 50/50 split crowd"],
+        2: ["a * symbol on a sign"],
+        3: ["an either/or menu choice"],
+    }
+    ours_gts = {k: [tokenize_caption(c) for c in v] for k, v in gts.items()}
+    ours_res = {k: [tokenize_caption(c) for c in v] for k, v in res.items()}
+    # the escaped tokens survive tokenization as single tokens on our side
+    assert "50/50" in ours_res[1][0].split()
+    esc = lambda s: s.replace("/", "\\/").replace("*", "\\*")
+    corenlp_gts = {k: [esc(c) for c in v] for k, v in ours_gts.items()}
+    corenlp_res = {k: [esc(c) for c in v] for k, v in ours_res.items()}
+    assert corenlp_res != ours_res  # the corpora genuinely differ textually
+    assert _score_all(ours_gts, ours_res) == _score_all(corenlp_gts, corenlp_res)
 
 
 def test_sentence_splitter_units():
