@@ -1,24 +1,44 @@
 """L-BFGS with torch-closure semantics for a masked parameter group.
 
 Reference parity: torch.optim.LBFGS(lr, max_iter, history_size) driven by a
-closure that re-evaluates loss+grads (model_factory.py:54-56,74-75;
+closure that re-evaluates loss+grads (model_factory.py:54-56,74-76;
 train.py:197-219) — each optimizer.step(closure) performs up to max_iter
-inner iterations on the current mini-batch. SURVEY.md hard-part #6 notes
-optax has no turnkey equivalent; this module builds one from optax.lbfgs:
-the group's parameters are partitioned out of the full tree, a pure
-value_fn closes over the frozen remainder and the batch, and a lax.scan of
-max_iter update+linesearch iterations reproduces the closure loop. L-BFGS
-memory persists across batches (as torch's does).
+inner iterations on the current mini-batch. The reference passes NO
+line_search_fn, so steps are plain lr-scaled moves along the two-loop
+direction (first-ever iteration: t = min(1, 1/|g|_1) * lr), with torch's
+convergence breaks (tolerance_grad=1e-7 on max|g|, tolerance_change=1e-9 on
+step size / loss change / directional derivative). L-BFGS curvature memory
+persists across batches (as torch's does), including torch's quirk of
+forming the first (s, y) pair of a new batch against the previous batch's
+last gradient.
+
+TPU-first shape: the group's trainable subset is flattened to ONE vector
+(jax.flatten_util.ravel_pytree) and the s/y history lives as two [h, n]
+ring-buffer matrices updated with in-place dynamic slice writes — the
+two-loop recursion becomes h masked dot products over contiguous rows
+instead of 2*h tree_maps over a 50-deep list of pytrees, and the state
+never aliases the live params tree, so the train step can donate it (at the
+reference's history_size=50 the memory is ~5 GB fp32 for the decoder group;
+an earlier optax.lbfgs+zoom-linesearch formulation double-carried that and
+compile-OOMed the 16 GB v5e). The inner closure loop is a lax.while_loop
+(torch's convergence breaks exit it early), so the max_iter re-evaluations
+never leave the device — eager dispatch through this rig's ~2 ms/op tunnel
+would dominate.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import optax
+from jax.flatten_util import ravel_pytree
+
+# torch.optim.LBFGS defaults (the reference passes only lr/max_iter/history)
+TOLERANCE_GRAD = 1e-7
+TOLERANCE_CHANGE = 1e-9
+CURVATURE_EPS = 1e-10  # torch: pairs kept only when y.s > 1e-10
 
 
 def partition(params: Any, mask: Any) -> Tuple[Any, Any]:
@@ -38,23 +58,80 @@ def combine(trainable: Any, frozen: Any) -> Any:
     )
 
 
-def make_lbfgs_tx(lr: float, history: int) -> optax.GradientTransformation:
-    """The group's real L-BFGS transform. lr is read per step so the plateau
-    scheduler can rescale it (torch rescales any optimizer's lr,
-    train.py:57-60,184-194); the state structure is lr-independent."""
-    return optax.lbfgs(
-        learning_rate=lr,
-        memory_size=history,
-        linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=15),
+class LBFGSMemory(NamedTuple):
+    """Curvature state over the FLAT trainable vector. Ring buffer: row
+    (head-1) % h is the newest pair; `count` rows are valid. Persisted in
+    the opt_state dict (keys 'decoder_lbfgs'/'encoder_lbfgs') so checkpoint
+    save/restore round-trips it — an L-BFGS run resumes bit-identically.
+    Holds parameter/gradient DIFFS, never the params themselves (donation-
+    safe: nothing here aliases the live params tree)."""
+
+    s: jnp.ndarray          # [h, n] parameter diffs   (torch old_stps)
+    y: jnp.ndarray          # [h, n] gradient diffs    (torch old_dirs)
+    rho: jnp.ndarray        # [h]    1 / (y . s)
+    head: jnp.ndarray       # int32  next ring write slot
+    count: jnp.ndarray      # int32  valid rows
+    d: jnp.ndarray          # [n]    last direction    (torch state['d'])
+    t: jnp.ndarray          # f32    last step size    (torch state['t'])
+    prev_grad: jnp.ndarray  # [n]    last gradient     (torch prev_flat_grad)
+    prev_loss: jnp.ndarray  # f32
+    n_iter: jnp.ndarray     # int32  cumulative inner iterations
+
+
+def init_lbfgs_entry(params: Any, mask: Any, lr: float, history: int) -> LBFGSMemory:
+    """Fresh curvature memory sized to the masked trainable subset. (lr is
+    unused at init — it is read per step so the plateau scheduler can
+    rescale it, torch train.py:57-60,184-194 — but kept in the signature so
+    optim.py builds entries uniformly.)"""
+    del lr
+    trainable, _ = partition(params, mask)
+    flat, _ = ravel_pytree(trainable)
+    n = flat.shape[0]
+    f = flat.dtype
+    return LBFGSMemory(
+        s=jnp.zeros((history, n), f),
+        y=jnp.zeros((history, n), f),
+        rho=jnp.zeros((history,), f),
+        head=jnp.zeros((), jnp.int32),
+        count=jnp.zeros((), jnp.int32),
+        d=jnp.zeros((n,), f),
+        t=jnp.zeros((), f),
+        prev_grad=jnp.zeros((n,), f),
+        prev_loss=jnp.zeros((), f),
+        n_iter=jnp.zeros((), jnp.int32),
     )
 
 
-def init_lbfgs_entry(params: Any, mask: Any, lr: float, history: int) -> Any:
-    """Curvature-memory state over the masked trainable subset. Lives in the
-    opt_state dict (keys 'decoder_lbfgs'/'encoder_lbfgs') so checkpoint
-    save/restore round-trips it — an L-BFGS run resumes bit-identically."""
-    trainable, _ = partition(params, mask)
-    return make_lbfgs_tx(lr, history).init(trainable)
+def _two_loop(mem: LBFGSMemory, g: jnp.ndarray, h: int) -> jnp.ndarray:
+    """Two-loop recursion (Nocedal & Wright alg. 7.4) over the ring buffer:
+    d = -H.g with H_diag = (y.s)/(y.y) of the newest pair (identity when the
+    memory is empty — then d = -g, torch's first-iteration branch)."""
+    q = -g
+
+    def newest_to_oldest(k, carry):
+        q, al = carry
+        i = (mem.head - 1 - k) % h
+        valid = k < mem.count
+        a = mem.rho[i] * jnp.dot(mem.s[i], q)
+        q = jnp.where(valid, q - a * mem.y[i], q)
+        al = al.at[i].set(jnp.where(valid, a, 0.0))
+        return q, al
+
+    q, al = jax.lax.fori_loop(0, h, newest_to_oldest, (q, jnp.zeros((h,), g.dtype)))
+
+    newest = (mem.head - 1) % h
+    ys = jnp.where(mem.count > 0, 1.0 / mem.rho[newest], 1.0)
+    yy = jnp.dot(mem.y[newest], mem.y[newest])
+    h_diag = jnp.where(mem.count > 0, ys / yy, 1.0)
+    r = q * h_diag
+
+    def oldest_to_newest(k, r):
+        i = (mem.head - mem.count + k) % h
+        valid = k < mem.count
+        be = mem.rho[i] * jnp.dot(mem.y[i], r)
+        return jnp.where(valid, r + (al[i] - be) * mem.s[i], r)
+
+    return jax.lax.fori_loop(0, h, oldest_to_newest, r)
 
 
 class LBFGSGroup:
@@ -70,34 +147,78 @@ class LBFGSGroup:
         self,
         params: Any,
         loss_of_params: Callable[[Any], jnp.ndarray],
-        entry: Any,
+        entry: LBFGSMemory,
         lr: float,
-    ) -> Tuple[Any, Any, jnp.ndarray]:
-        """One torch-style optimizer.step(closure): up to max_iter L-BFGS
-        iterations on this batch. Returns (new full params, new entry,
-        first loss as a traced scalar — no host sync, so the whole train
-        step stays jittable)."""
+    ) -> Tuple[Any, LBFGSMemory, jnp.ndarray]:
+        """One torch-style optimizer.step(closure): up to max_iter plain
+        lr-scaled L-BFGS iterations on this batch, with torch's convergence
+        breaks. Returns (new full params, new entry, first loss as a traced
+        scalar — no host sync, so the whole train step stays jittable)."""
         trainable, frozen = partition(params, self.mask)
-        tx = make_lbfgs_tx(lr, self.history)
+        flat0, unravel = ravel_pytree(trainable)
+        h = self.history
 
-        def value_fn(tr):
-            return loss_of_params(combine(tr, frozen))
+        def value_and_grad_flat(x):
+            return jax.value_and_grad(
+                lambda xf: loss_of_params(combine(unravel(xf), frozen))
+            )(x)
 
-        value_and_grad = optax.value_and_grad_from_state(value_fn)
+        loss0, g0 = value_and_grad_flat(flat0)
 
-        def body(carry, _):
-            tr, st = carry
-            v, g = value_and_grad(tr, state=st)
-            updates, st = tx.update(
-                g, st, tr, value=v, grad=g, value_fn=value_fn
+        def cond(carry):
+            k, _, _, _, _, done = carry
+            return (k < self.max_iter) & ~done
+
+        def body(carry):
+            k, x, v, g, mem, _ = carry
+            n_iter = mem.n_iter + 1
+            is_first = n_iter == 1
+
+            # curvature pair from the PREVIOUS iteration's (d, t, prev_grad)
+            # — torch forms it at the top of the next iteration, including
+            # across step()/batch boundaries
+            def with_pair(m):
+                y = g - m.prev_grad
+                s = m.d * m.t
+                ys = jnp.dot(y, s)
+
+                def push(mm):
+                    return mm._replace(
+                        s=mm.s.at[mm.head].set(s),
+                        y=mm.y.at[mm.head].set(y),
+                        rho=mm.rho.at[mm.head].set(1.0 / ys),
+                        head=(mm.head + 1) % h,
+                        count=jnp.minimum(mm.count + 1, h),
+                    )
+
+                return jax.lax.cond(ys > CURVATURE_EPS, push, lambda mm: mm, m)
+
+            mem = jax.lax.cond(is_first, lambda m: m, with_pair, mem)
+            d = _two_loop(mem, g, h)
+            t = jnp.where(
+                is_first, jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(g))) * lr, lr
+            ).astype(g.dtype)
+            mem = mem._replace(d=d, t=t, prev_grad=g, prev_loss=v, n_iter=n_iter)
+
+            gtd = jnp.dot(g, d)
+            stop_pre = gtd > -TOLERANCE_CHANGE  # not a descent direction
+            x2 = jnp.where(stop_pre, x, x + t * d)
+            v2, g2 = jax.lax.cond(
+                stop_pre, lambda: (v, g), lambda: value_and_grad_flat(x2)
             )
-            tr = optax.apply_updates(tr, updates)
-            return (tr, st), v
+            done = (
+                stop_pre
+                | (jnp.max(jnp.abs(g2)) <= TOLERANCE_GRAD)
+                | (jnp.max(jnp.abs(t * d)) <= TOLERANCE_CHANGE)
+                | (jnp.abs(v2 - v) < TOLERANCE_CHANGE)
+            )
+            return k + 1, x2, v2, g2, mem, done
 
-        (trainable, entry), values = jax.lax.scan(
-            body, (trainable, entry), None, length=self.max_iter
+        _, flat, _, _, entry, _ = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), flat0, loss0, g0, entry,
+                         jnp.zeros((), bool)),
         )
-        return combine(trainable, frozen), entry, values[0]
+        return combine(unravel(flat), frozen), entry, loss0
 
 
 def make_lbfgs_train_step(model, dual, cf):
@@ -109,12 +230,16 @@ def make_lbfgs_train_step(model, dual, cf):
     lbfgs groups re-evaluate the loss closure up to max_iter times on the
     same batch. BN running stats update once from the initial forward (not
     per inner L-BFGS iteration). One jitted program per encoder_on value,
-    like the adam/sgd step (step.py:167) — the inner closure loop is a
-    lax.scan, so the max_iter re-evaluations never leave the device
-    (eager dispatch through this rig's ~2 ms/op tunnel would dominate).
+    like the adam/sgd step (step.py:167). Donation matches step.py: the
+    LBFGSMemory state holds only s/y diffs (never the params tree), so
+    params/state/opt_state donate cleanly — at the reference's
+    history_size=50 the ~5 GB curvature memory would otherwise be carried
+    twice per step (measured compile-OOM on the 16 GB v5e).
     """
     import optax
 
+    from adaptive_tpu.models import decoders as D
+    from adaptive_tpu.models import encoder as E
     from adaptive_tpu.ops.preprocess import train_preprocess
     from adaptive_tpu.training.optim import get_lr
     from adaptive_tpu.training.step import StepOutput, clip_lstm_grads, masked_ce_loss
@@ -129,10 +254,7 @@ def make_lbfgs_train_step(model, dual, cf):
             dual.encoder_mask, cf.opt_cnn_lbfgs_max_iter, cf.opt_cnn_lbfgs_history
         )
 
-    # NO buffer donation here (unlike step.py:167): optax.lbfgs's curvature
-    # state holds the previous params tree, which at step 1 ALIASES the live
-    # params leaves — donating both trees donates the same buffer twice.
-    @partial(jax.jit, static_argnames=("encoder_on",))
+    @partial(jax.jit, static_argnames=("encoder_on",), donate_argnums=(0, 1, 2))
     def train_step(params, state, opt_state, batch, rng, encoder_on=False):
         def loss_fn(p, s):
             images = train_preprocess(
@@ -149,8 +271,33 @@ def make_lbfgs_train_step(model, dual, cf):
 
         new_opt = dict(opt_state)
         if "decoder" in groups:
+            # The torch closure re-evaluates the FULL model every inner
+            # L-BFGS iteration (train.py:197-219) — but during the decoder
+            # group's step the ResNet trunk's params and BN state are fixed
+            # (the decoder group holds only affine_a/b + decoder.*,
+            # optim.py), so the trunk's output is loop-invariant. Hoist it:
+            # one trunk forward feeds every inner evaluation; the closure
+            # re-runs only the affine heads + the teacher-forced decoder.
+            # Identical math (deterministic preprocess rng, fixed BN batch
+            # stats), but the inner loop no longer re-runs — or holds live —
+            # a ResNet-152 forward per evaluation.
+            images = train_preprocess(
+                rng, batch["images"], cf.train_crop_size, model.compute_dtype
+            )
+            A_flat, a_g, _ = E.encoder_features(
+                params["encoder"], state, images.astype(model.compute_dtype),
+                model.arch, train=True,
+            )
+
+            def dec_value_fn(p):
+                V, v_g, h0, c0 = E.encoder_heads(p["encoder"], A_flat, a_g)
+                scores, _, _ = D.decoder_forward(
+                    p["decoder"], model.spec, V, v_g, batch["captions"], h0, c0
+                )
+                return masked_ce_loss(scores, batch["captions"], batch["lengths"])
+
             params, new_opt["decoder_lbfgs"], _ = groups["decoder"].step(
-                params, value_fn, opt_state["decoder_lbfgs"], get_lr(opt_state, "decoder")
+                params, dec_value_fn, opt_state["decoder_lbfgs"], get_lr(opt_state, "decoder")
             )
         else:
             upd, new_opt["decoder"] = dual.decoder_tx.update(

@@ -62,16 +62,17 @@ def make_group_optimizer(kind: str, cfg_prefix: str, cf) -> optax.GradientTransf
         )
         lr0 = knob("sgd_learning_rate")
     elif opt_name == "lbfgs":
-        # lr-carrier transform: when a group is 'lbfgs' the train loop routes
-        # through training/lbfgs.py:make_lbfgs_train_step (closure semantics),
-        # whose curvature memory lives under opt_state['<group>_lbfgs']. This
-        # inject_hyperparams state is never stepped but IS the group's
-        # scheduled learning rate: get_lr/set_lr target it, so the plateau
-        # scheduler rescales L-BFGS lrs exactly as torch does
-        # (train.py:57-60,184-194).
-        base = lambda learning_rate: optax.lbfgs(
-            learning_rate=learning_rate, memory_size=knob("lbfgs_history")
-        )
+        # lr-carrier transform ONLY: when a group is 'lbfgs' the train loop
+        # routes through training/lbfgs.py:make_lbfgs_train_step (closure
+        # semantics), whose curvature memory lives under
+        # opt_state['<group>_lbfgs']. This inject_hyperparams state is never
+        # stepped but IS the group's scheduled learning rate: get_lr/set_lr
+        # target it, so the plateau scheduler rescales L-BFGS lrs exactly as
+        # torch does (train.py:57-60,184-194). It must stay stateless — an
+        # earlier optax.lbfgs carrier allocated the full 2*h*n curvature
+        # zeros here (5+ GB dead weight at the reference's history=50) whose
+        # XLA-aliased zero buffers also broke train-step buffer donation.
+        base = lambda learning_rate: optax.scale_by_learning_rate(learning_rate)
         lr0 = knob("lbfgs_lr")
     else:
         raise ValueError(f"unknown optimizer {opt_name!r}")

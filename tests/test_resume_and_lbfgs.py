@@ -51,7 +51,9 @@ def test_lbfgs_encoder_group_runs(tiny_cf):
     params, state = model.init(jax.random.PRNGKey(0))
     dual, opt_state = make_dual_optimizer(params, cf)
     step = make_lbfgs_train_step(model, dual, cf)
-    out = step(params, state, opt_state, _batch(cf), jax.random.PRNGKey(1), True)
+    # the lbfgs step donates params/state/opt_state (like step.py) — pass copies
+    out = step(jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, state),
+               jax.tree.map(jnp.copy, opt_state), _batch(cf), jax.random.PRNGKey(1), True)
     assert np.isfinite(float(out.loss))
     # encoder lbfgs updated only finetune layers; decoder adam updated decoder
     assert not np.allclose(np.asarray(out.params["decoder"]["embed"]),
@@ -154,11 +156,12 @@ def test_lbfgs_checkpoint_resume_bit_identical(tiny_cf, tmp_path):
     b1, b2 = _batch(cf, seed=0), _batch(cf, seed=1)
     k1, k2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
 
-    out1 = step(params, state, opt_state, b1, k1, True)
-    want = step(out1.params, out1.model_state, out1.opt_state, b2, k2, True)
-
+    cp = lambda t: jax.tree.map(jnp.copy, t)  # the step donates its pytrees
+    out1 = step(cp(params), cp(state), cp(opt_state), b1, k1, True)
     d = str(tmp_path / "ck")
     ckpt.save_checkpoint(d, out1.params, out1.model_state, out1.opt_state)
+    want = step(cp(out1.params), cp(out1.model_state), cp(out1.opt_state), b2, k2, True)
+
     p2, s2 = ckpt.restore_model(d, params, state)
     _, fresh_opt = make_dual_optimizer(params, cf)  # resume-time template
     o2 = ckpt.restore_opt_state(d, fresh_opt)
@@ -183,13 +186,14 @@ def test_plateau_scheduler_rescales_lbfgs_lr(tiny_cf):
     step = make_lbfgs_train_step(model, dual, cf)
     batch = _batch(cf)
 
-    out = step(params, state, opt_state, batch, jax.random.PRNGKey(1), False)
+    cp = lambda t: jax.tree.map(jnp.copy, t)  # the step donates its pytrees
+    out = step(cp(params), cp(state), cp(opt_state), batch, jax.random.PRNGKey(1), False)
     assert not np.allclose(np.asarray(out.params["decoder"]["embed"]),
                            np.asarray(params["decoder"]["embed"]))
 
     zeroed = set_lr(opt_state, "decoder", 0.0)
     assert get_lr(zeroed, "decoder") == 0.0
-    out0 = step(params, state, zeroed, batch, jax.random.PRNGKey(1), False)
+    out0 = step(cp(params), cp(state), cp(zeroed), batch, jax.random.PRNGKey(1), False)
     np.testing.assert_array_equal(np.asarray(out0.params["decoder"]["embed"]),
                                   np.asarray(params["decoder"]["embed"]))
 
