@@ -49,7 +49,7 @@ def build_service(args):
     # flagship serving config: the benched decode defaults (int8 per-channel
     # carry encoder + fused Pallas decode cell) at a latency-oriented batch
     words = ["<pad>", "<start>", "<end>", "<unk>"] + [f"w{i}" for i in range(10119)]
-    vocab = Vocabulary(word2idx={w: i for i, w in enumerate(words)})
+    vocab = Vocabulary(words)
     cf = load_config(
         None,
         atten_model_name="adaptive_attention",
