@@ -142,6 +142,15 @@ class LBFGSGroup:
         self.mask = mask
         self.max_iter = max_iter
         self.history = history
+        # torch's default eval budget max_eval = max_iter*5//4 (the reference
+        # does not override it). Without a linesearch each inner iteration
+        # costs exactly one re-evaluation (the initial closure is eval #1 and
+        # the max_iter-th iteration skips its re-eval), so the budget caps
+        # the iteration count at max(1, max_eval-1) — it binds only for
+        # max_iter < 4 (e.g. max_iter=2 runs ONE iteration, as torch does);
+        # the reference's max_iter=20 is unaffected.
+        self.max_eval = max_iter * 5 // 4
+        self.effective_iters = min(max_iter, max(1, self.max_eval - 1))
 
     def step(
         self,
@@ -167,7 +176,7 @@ class LBFGSGroup:
 
         def cond(carry):
             k, _, _, _, _, done = carry
-            return (k < self.max_iter) & ~done
+            return (k < self.effective_iters) & ~done
 
         def body(carry):
             k, x, v, g, mem, _ = carry

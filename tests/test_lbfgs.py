@@ -67,5 +67,44 @@ def test_matches_torch_lbfgs_on_rosenbrock_start():
 
     new, entry, _ = opt.step(params, loss, entry, 0.5)
     got = rosen_np(np.asarray(new["x"]))
-    # both should make strong progress from 24.2; exact linesearch paths differ
+    # same algorithm now (no linesearch, torch semantics): the whole 20-iter
+    # trajectory must land on torch's point, not just "make progress"
+    np.testing.assert_allclose(np.asarray(new["x"]), tp.detach().numpy(),
+                               rtol=2e-4, atol=2e-4)
     assert got < 4.0 and want < 4.0
+
+
+def test_matches_torch_lbfgs_across_steps_and_history_wrap():
+    """Multi-step parity incl. ring-buffer wraparound: history=3 over 4
+    step(closure) calls of max_iter=2 on a rotated quadratic — parameters
+    track torch.optim.LBFGS (same lr/max_iter/history, no linesearch)
+    through curvature-memory eviction and cross-step (s, y) pairs."""
+    rng = np.random.default_rng(7)
+    A = rng.normal(size=(6, 6)).astype(np.float32)
+    Q = (A @ A.T + 6 * np.eye(6)).astype(np.float32)  # SPD, well-conditioned
+    b = rng.normal(size=(6,)).astype(np.float32)
+    x0 = rng.normal(size=(6,)).astype(np.float32)
+
+    tp = torch.nn.Parameter(torch.tensor(x0))
+    topt = torch.optim.LBFGS([tp], lr=0.3, max_iter=2, history_size=3)
+    tQ, tb = torch.tensor(Q), torch.tensor(b)
+
+    def closure():
+        topt.zero_grad()
+        loss = 0.5 * tp @ tQ @ tp - tb @ tp
+        loss.backward()
+        return loss
+
+    params = {"x": jnp.asarray(x0)}
+    opt = LBFGSGroup({"x": True}, max_iter=2, history=3)
+    entry = init_lbfgs_entry(params, {"x": True}, 0.3, 3)
+
+    def loss(p):
+        x = p["x"]
+        return 0.5 * x @ jnp.asarray(Q) @ x - jnp.asarray(b) @ x
+
+    for _ in range(4):
+        topt.step(closure)
+        params, entry, _ = opt.step(params, loss, entry, 0.3)
+        np.testing.assert_allclose(np.asarray(params["x"]), tp.detach().numpy(),
+                                   rtol=1e-4, atol=1e-4)
