@@ -50,14 +50,26 @@ class CaptionService:
     def __init__(self, cf, vocab, params=None, state=None, checkpoint: str = "",
                  batch_size: Optional[int] = None, max_wait_ms: float = 5.0,
                  max_queue: Optional[int] = None,
-                 calibration_images: Optional[np.ndarray] = None):
+                 calibration_images: Optional[np.ndarray] = None,
+                 early_exit: bool = False):
         import jax
 
         from adaptive_tpu.decoding import make_beam_decoder, make_greedy_decoder
         from adaptive_tpu.models.factory import build_model
 
         self.vocab = vocab
-        self.cf = cf.replace(vocab_length=len(vocab))
+        # early_exit=True swaps the fixed-30 decode scan for a while_loop
+        # that stops when every row has emitted <end> (identical outputs —
+        # tests/test_decoding.py pins bit-equality). Measured and NOT the
+        # default here: at large batches the overhead is nil (-0.1% at
+        # batch 2048) and the uplift real (+18% on beam-3's bound), but at
+        # this service's latency-oriented batch 32 the dynamic-trip-count
+        # loop costs +50% device time in the nothing-exits worst case
+        # (177.9 vs 118.2 ms/batch — XLA can no longer unroll/pipeline the
+        # small-batch scan; VALIDATION.md round-4). Flip it on for
+        # throughput-shaped services with large batches / short captions.
+        self.cf = cf.replace(vocab_length=len(vocab),
+                             decode_early_exit=early_exit)
         self.batch_size = batch_size or cf.eval_batch_size
         self.max_wait = max_wait_ms / 1000.0
         self.image_size = self.cf.resized_image_size
