@@ -53,6 +53,35 @@ def _sync(x) -> float:
     return float(np.asarray(x))
 
 
+def _load_images_dir(path, batch):
+    """Load up to `batch` images from a directory (PIL), tiled to the batch —
+    real content so a --checkpoint bench gets the trained model's actual
+    caption-length/exit behavior, not noise-input behavior."""
+    import glob as g
+    import os
+
+    from PIL import Image
+
+    files = sorted(
+        f for f in g.glob(os.path.join(path, "**", "*"), recursive=True)
+        if f.lower().endswith((".jpg", ".jpeg", ".png"))
+    )[:batch]
+    if not files:
+        raise FileNotFoundError(f"no images under {path}")
+    imgs = np.stack([np.asarray(Image.open(f).convert("RGB")) for f in files])
+    reps = -(-batch // len(imgs))
+    return np.tile(imgs, (reps, 1, 1, 1))[:batch].astype(np.uint8)
+
+
+def _checkpoint_vocab_length(path):
+    """Peek the checkpoint's decoder embed table for its vocab size."""
+    import os
+
+    npz = path if path.endswith(".npz") else os.path.join(path, "model.npz")
+    with np.load(npz) as z:
+        return int(z["params|decoder|embed"].shape[0])
+
+
 def _make_decode_step(args):
     import jax
     import jax.numpy as jnp
@@ -64,7 +93,8 @@ def _make_decode_step(args):
     cf = load_config(None,
         atten_model_name="adaptive_attention",
         encoder_backbone=args.backbone,
-        vocab_length=10123,
+        vocab_length=_checkpoint_vocab_length(args.checkpoint)
+        if args.checkpoint else 10123,
         compute_dtype=args.dtype,
         eval_batch_size=args.batch,
         beam_size=args.beam,
@@ -85,8 +115,16 @@ def _make_decode_step(args):
     if args.stem_s2d != "auto":
         model = model._replace(int8_stem_s2d=args.stem_s2d == "on")
     params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    if args.checkpoint:
+        # bench a TRAINED model (e.g. the int8-gate checkpoint or a real-COCO
+        # run): restored weights change decode behavior — notably how early
+        # captions hit <end>, which --early-exit converts into throughput
+        from adaptive_tpu.training.checkpoint import restore_model
+
+        params, state = restore_model(args.checkpoint, params, state)
 
     images = jax.device_put(
+        _load_images_dir(args.images_dir, args.batch) if args.images_dir else
         np.random.default_rng(0).integers(0, 255, (args.batch, 256, 256, 3), dtype=np.uint8)
     )
 
@@ -253,6 +291,14 @@ def main():
                         "--early-exit: point it at the untrained model's "
                         "attractor token to synthesize a short-caption "
                         "distribution; see VALIDATION.md)")
+    p.add_argument("--checkpoint", default="",
+                   help="decode mode: bench a trained checkpoint dir (vocab "
+                        "size auto-detected from its embed table) instead of "
+                        "random-init weights")
+    p.add_argument("--images-dir", default="",
+                   help="decode mode: load real images (tiled to the batch) "
+                        "instead of random uint8 — pair with --checkpoint so "
+                        "--early-exit sees the trained caption lengths")
     p.add_argument("--use-pallas", default="auto")
     p.add_argument("--quant", default="int8", help="encoder quantization: none|int8")
     p.add_argument("--quant-granularity", default="channel", choices=["channel", "tensor"],
