@@ -58,11 +58,16 @@ def tokenize_caption(caption: str) -> str:
         # or not; Treebank's final-period rule strips it ("u.s" + "."), which
         # made the SAME word tokenize differently by position — not score-
         # neutral across gts/res (tests/test_ptb_differential.py::
-        # test_acronym_cross_position_*). Reattach for dotted acronyms; plain
-        # words ("a man .") are unaffected. Vocab building (data/tokenizer.py)
-        # keeps NLTK word_tokenize semantics — this is scoring-path only.
+        # test_acronym_cross_position_*). Reattach for dotted LETTER
+        # acronyms only: CoreNLP's abbreviation class covers "u.s." but NOT
+        # decimals — "1.30." tokenizes as "1.30" + "." in every position, so
+        # reattaching digits would reintroduce the cross-position mismatch
+        # for numbers. Plain words ("a man .") are unaffected. Vocab building
+        # (data/tokenizer.py) keeps NLTK word_tokenize semantics — this is
+        # scoring-path only.
         if (len(st) >= 2 and st[-1] == "." and "." in st[-2]
-                and any(c.isalnum() for c in st[-2])):  # not bare ellipses
+                and any(c.isalpha() for c in st[-2])
+                and all(c.isalpha() or c == "." for c in st[-2])):
             st[-2] += "."
         toks.extend(st)
     toks = [_BRACKETS.get(t, t) for t in toks]

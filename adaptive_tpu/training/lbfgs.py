@@ -29,7 +29,7 @@ would dominate.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, NamedTuple, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -138,10 +138,18 @@ class LBFGSGroup:
     """Closure-style L-BFGS over one masked param group (stateless: the
     curvature memory is passed in/out as `entry`)."""
 
-    def __init__(self, mask: Any, max_iter: int, history: int):
+    def __init__(self, mask: Any, max_iter: int, history: int,
+                 grad_transform: Optional[Callable[[Any], Any]] = None):
         self.mask = mask
         self.max_iter = max_iter
         self.history = history
+        # Applied to the TREE gradient on every closure evaluation, before
+        # flattening — the reference's closure clips decoder.LSTM grads
+        # inside itself (train.py:203-216 with lstm_clip_grad=True), so
+        # torch's LBFGS consumes CLIPPED gradients for every direction and
+        # curvature pair. The decoder group passes clip_lstm_grads here; the
+        # encoder group passes None (train.py:113 calls with False).
+        self.grad_transform = grad_transform
         # torch's default eval budget max_eval = max_iter*5//4 (the reference
         # does not override it). Without a linesearch each inner iteration
         # costs exactly one re-evaluation (the initial closure is eval #1 and
@@ -168,11 +176,17 @@ class LBFGSGroup:
         h = self.history
 
         def value_and_grad_flat(x):
-            return jax.value_and_grad(
-                lambda xf: loss_of_params(combine(unravel(xf), frozen))
-            )(x)
+            v, g_tree = jax.value_and_grad(
+                lambda tr: loss_of_params(combine(tr, frozen))
+            )(unravel(x))
+            if self.grad_transform is not None:
+                g_tree = self.grad_transform(g_tree)
+            return v, ravel_pytree(g_tree)[0]
 
         loss0, g0 = value_and_grad_flat(flat0)
+        # torch returns immediately when the initial gradient already
+        # satisfies tolerance_grad — params and curvature state untouched
+        done0 = jnp.max(jnp.abs(g0)) <= TOLERANCE_GRAD
 
         def cond(carry):
             k, _, _, _, _, done = carry
@@ -212,8 +226,12 @@ class LBFGSGroup:
             gtd = jnp.dot(g, d)
             stop_pre = gtd > -TOLERANCE_CHANGE  # not a descent direction
             x2 = jnp.where(stop_pre, x, x + t * d)
+            # torch skips the closure re-evaluation when the loop is about
+            # to exit anyway ("no use to re-evaluate that function here") —
+            # the result would be discarded; don't pay a full fwd+bwd for it
+            last = (k + 1) >= self.effective_iters
             v2, g2 = jax.lax.cond(
-                stop_pre, lambda: (v, g), lambda: value_and_grad_flat(x2)
+                stop_pre | last, lambda: (v, g), lambda: value_and_grad_flat(x2)
             )
             done = (
                 stop_pre
@@ -224,8 +242,7 @@ class LBFGSGroup:
             return k + 1, x2, v2, g2, mem, done
 
         _, flat, _, _, entry, _ = jax.lax.while_loop(
-            cond, body, (jnp.zeros((), jnp.int32), flat0, loss0, g0, entry,
-                         jnp.zeros((), bool)),
+            cond, body, (jnp.zeros((), jnp.int32), flat0, loss0, g0, entry, done0),
         )
         return combine(unravel(flat), frozen), entry, loss0
 
@@ -255,10 +272,15 @@ def make_lbfgs_train_step(model, dual, cf):
 
     groups = {}
     if dual.decoder_is_lbfgs:
+        # the reference's decoder closure clips LSTM grads on EVERY
+        # re-evaluation (model_optimize with lstm_clip_grad=True,
+        # train.py:108,213-214) — torch's LBFGS sees clipped gradients
         groups["decoder"] = LBFGSGroup(
-            dual.decoder_mask, cf.opt_rnn_lbfgs_max_iter, cf.opt_rnn_lbfgs_history
+            dual.decoder_mask, cf.opt_rnn_lbfgs_max_iter, cf.opt_rnn_lbfgs_history,
+            grad_transform=lambda g: clip_lstm_grads(g, cf.train_lstm_maxnormal)[0],
         )
     if dual.encoder_is_lbfgs:
+        # encoder closure runs with lstm_clip_grad=False (train.py:113)
         groups["encoder"] = LBFGSGroup(
             dual.encoder_mask, cf.opt_cnn_lbfgs_max_iter, cf.opt_cnn_lbfgs_history
         )

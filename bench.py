@@ -53,10 +53,13 @@ def _sync(x) -> float:
     return float(np.asarray(x))
 
 
-def _load_images_dir(path, batch):
-    """Load up to `batch` images from a directory (PIL), tiled to the batch —
-    real content so a --checkpoint bench gets the trained model's actual
-    caption-length/exit behavior, not noise-input behavior."""
+def _load_images_dir(path, batch, size=256):
+    """Load up to `batch` images from a directory (PIL), resized to the
+    pipeline's offline-resize shape (size x size LANCZOS, like the resize
+    stage) and tiled to the batch — real content so a --checkpoint bench
+    gets the trained model's actual caption-length/exit behavior, not
+    noise-input behavior. Resizing here also handles raw COCO directories,
+    whose images have heterogeneous shapes."""
     import glob as g
     import os
 
@@ -68,7 +71,15 @@ def _load_images_dir(path, batch):
     )[:batch]
     if not files:
         raise FileNotFoundError(f"no images under {path}")
-    imgs = np.stack([np.asarray(Image.open(f).convert("RGB")) for f in files])
+
+    def load(f):
+        with Image.open(f) as im:
+            im = im.convert("RGB")
+            if im.size != (size, size):
+                im = im.resize((size, size), Image.LANCZOS)
+            return np.asarray(im)
+
+    imgs = np.stack([load(f) for f in files])
     reps = -(-batch // len(imgs))
     return np.tile(imgs, (reps, 1, 1, 1))[:batch].astype(np.uint8)
 

@@ -109,6 +109,15 @@ def test_paraphrase_parse_autodetect(mt):
     assert all(len(a.split()) <= 4 and len(b.split()) <= 4 for a, b in pairs)
 
 
+def test_paraphrase_two_field_floaty_phrase_is_plain(mt):
+    """A plain two-field pair whose left phrase happens to parse as a float
+    ('nan ||| grandmother' — float('nan') parses; same for 'inf' or '12')
+    must not be misread as a meteor-style probability column and silently
+    dropped: two fields is always the plain layout."""
+    pairs = set(mt.parse_paraphrase_lines(["nan ||| grandmother"], min_score=0.5))
+    assert ("nan", "grandmother") in pairs
+
+
 def test_paraphrase_min_score_filters_ppdb(mt):
     pairs = set(mt.parse_paraphrase_lines(PPDB_LINES.splitlines(), min_score=3.0))
     flat = {w for pair in pairs for w in pair}

@@ -165,6 +165,20 @@ def test_acronym_cross_position_scores():
     assert _score_all(gts_tok, res_tok) == _score_all(gts_tok, corenlp_res)
 
 
+def test_decimal_final_period_not_reattached():
+    """Decimals are NOT in CoreNLP's abbreviation class: 'showing 1.30.'
+    tokenizes as '1.30' + terminator in every position, so the acronym
+    reattach must not fire on digit-dotted tokens — otherwise a res caption
+    ending in a time/decimal ('1.30.') would carry '1.30.' while gts
+    mid-sentence uses '1.30', silently unmatching the unigram."""
+    final = tokenize_caption("a clock showing 1.30.")
+    mid = tokenize_caption("a clock showing 1.30 at noon")
+    assert final.split()[-1] == "1.30"
+    assert "1.30" in mid.split()
+    # the letter-acronym path still reattaches
+    assert tokenize_caption("a flag of the u.s.").split()[-1] == "u.s."
+
+
 def test_slash_star_escape_score_neutral():
     """PTB3 escaping ('50/50' -> '50\\/50', '*' -> '\\*') is a consistent,
     position-independent token renaming applied to gts and res alike —
