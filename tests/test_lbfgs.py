@@ -108,3 +108,56 @@ def test_matches_torch_lbfgs_across_steps_and_history_wrap():
         params, entry, _ = opt.step(params, loss, entry, 0.3)
         np.testing.assert_allclose(np.asarray(params["x"]), tp.detach().numpy(),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_grad_transform_zeroing_freezes_params():
+    """grad_transform applies to EVERY closure evaluation (the reference
+    clips inside the closure, train.py:213-214). A transform that zeroes
+    gradients must freeze the step entirely — this also exercises torch's
+    initial-convergence early return (max|g0| <= tolerance_grad)."""
+    params = {"x": jnp.ones(3)}
+    opt = LBFGSGroup({"x": True}, max_iter=3, history=4,
+                     grad_transform=lambda g: jax.tree.map(jnp.zeros_like, g))
+    entry = init_lbfgs_entry(params, {"x": True}, 1.0, 4)
+    new, entry2, loss0 = opt.step(params, lambda p: jnp.sum(p["x"] ** 2), entry, 1.0)
+    np.testing.assert_array_equal(np.asarray(new["x"]), np.ones(3))
+    assert int(entry2.n_iter) == 0 and int(entry2.count) == 0
+    assert loss0 == pytest.approx(3.0)
+
+
+def test_matches_torch_closure_grad_clipping():
+    """The reference's closure clips grads before torch.optim.LBFGS consumes
+    them (model_optimize, train.py:203-216): with the same clip as a
+    grad_transform the whole trajectory must match torch's."""
+    x0 = np.array([10.0, -8.0], np.float32)  # large grads: the clip binds
+    M = 1.0
+
+    tp = torch.nn.Parameter(torch.tensor(x0))
+    topt = torch.optim.LBFGS([tp], lr=0.5, max_iter=4, history_size=3)
+
+    def closure():
+        topt.zero_grad()
+        loss = (tp ** 2).sum()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_([tp], M)
+        return loss
+
+    def clip(g):
+        total = jnp.sqrt(sum(jnp.sum(x ** 2) for x in jax.tree.leaves(g)))
+        coef = jnp.minimum(M / (total + 1e-6), 1.0)
+        return jax.tree.map(lambda x: x * coef, g)
+
+    params = {"x": jnp.asarray(x0)}
+    opt = LBFGSGroup({"x": True}, max_iter=4, history=3, grad_transform=clip)
+    entry = init_lbfgs_entry(params, {"x": True}, 0.5, 3)
+
+    for _ in range(3):
+        topt.step(closure)
+        params, entry, _ = opt.step(
+            params, lambda p: jnp.sum(p["x"] ** 2), entry, 0.5
+        )
+        # the clipped trajectory diverges fast on this toy (identically on
+        # both sides — clipping breaks the curvature scaling), which
+        # amplifies fp32 noise; 1e-3 relative still pins the same algorithm
+        np.testing.assert_allclose(np.asarray(params["x"]), tp.detach().numpy(),
+                                   rtol=1e-3)
