@@ -139,7 +139,7 @@ class LBFGSGroup:
     curvature memory is passed in/out as `entry`)."""
 
     def __init__(self, mask: Any, max_iter: int, history: int,
-                 grad_transform: Optional[Callable[[Any], Any]] = None):
+                 grad_transform: Optional[Callable[[Any], Tuple[Any, jnp.ndarray]]] = None):
         self.mask = mask
         self.max_iter = max_iter
         self.history = history
@@ -147,7 +147,10 @@ class LBFGSGroup:
         # flattening — the reference's closure clips decoder.LSTM grads
         # inside itself (train.py:203-216 with lstm_clip_grad=True), so
         # torch's LBFGS consumes CLIPPED gradients for every direction and
-        # curvature pair. The decoder group passes clip_lstm_grads here; the
+        # curvature pair. Returns (transformed grads, aux scalar); the aux
+        # from the LAST evaluation is reported by step() — the reference logs
+        # clip_grad_norm_'s return from the last closure call (total_norm[-1],
+        # train.py:219). The decoder group passes clip_lstm_grads here; the
         # encoder group passes None (train.py:113 calls with False).
         self.grad_transform = grad_transform
         # torch's default eval budget max_eval = max_iter*5//4 (the reference
@@ -166,11 +169,18 @@ class LBFGSGroup:
         loss_of_params: Callable[[Any], jnp.ndarray],
         entry: LBFGSMemory,
         lr: float,
-    ) -> Tuple[Any, LBFGSMemory, jnp.ndarray]:
+    ) -> Tuple[Any, LBFGSMemory, jnp.ndarray, Any, jnp.ndarray]:
         """One torch-style optimizer.step(closure): up to max_iter plain
         lr-scaled L-BFGS iterations on this batch, with torch's convergence
-        breaks. Returns (new full params, new entry, first loss as a traced
-        scalar — no host sync, so the whole train step stays jittable)."""
+        breaks. Returns (new full params, new entry, first loss, eval_params,
+        last grad_transform aux) — all traced, no host sync, so the whole
+        train step stays jittable. eval_params is the point of the LAST
+        closure evaluation (== the final params only when the final update
+        was re-evaluated; torch skips the re-eval on the max_iter'th
+        iteration, leaving .grad one update stale) — it is where torch's
+        .grad buffers point after step(closure) returns, which the
+        reference's encoder_optimizer.step() then consumes (train.py:111-114).
+        """
         trainable, frozen = partition(params, self.mask)
         flat0, unravel = ravel_pytree(trainable)
         h = self.history
@@ -179,21 +189,23 @@ class LBFGSGroup:
             v, g_tree = jax.value_and_grad(
                 lambda tr: loss_of_params(combine(tr, frozen))
             )(unravel(x))
+            aux = jnp.zeros((), jnp.float32)
             if self.grad_transform is not None:
-                g_tree = self.grad_transform(g_tree)
-            return v, ravel_pytree(g_tree)[0]
+                g_tree, aux = self.grad_transform(g_tree)
+                aux = aux.astype(jnp.float32)
+            return v, ravel_pytree(g_tree)[0], aux
 
-        loss0, g0 = value_and_grad_flat(flat0)
+        loss0, g0, aux0 = value_and_grad_flat(flat0)
         # torch returns immediately when the initial gradient already
         # satisfies tolerance_grad — params and curvature state untouched
         done0 = jnp.max(jnp.abs(g0)) <= TOLERANCE_GRAD
 
         def cond(carry):
-            k, _, _, _, _, done = carry
+            k, _, _, _, _, done, _, _ = carry
             return (k < self.effective_iters) & ~done
 
         def body(carry):
-            k, x, v, g, mem, _ = carry
+            k, x, v, g, mem, _, x_eval, aux = carry
             n_iter = mem.n_iter + 1
             is_first = n_iter == 1
 
@@ -226,25 +238,36 @@ class LBFGSGroup:
             gtd = jnp.dot(g, d)
             stop_pre = gtd > -TOLERANCE_CHANGE  # not a descent direction
             x2 = jnp.where(stop_pre, x, x + t * d)
-            # torch skips the closure re-evaluation when the loop is about
-            # to exit anyway ("no use to re-evaluate that function here") —
-            # the result would be discarded; don't pay a full fwd+bwd for it
-            last = (k + 1) >= self.effective_iters
-            v2, g2 = jax.lax.cond(
-                stop_pre | last, lambda: (v, g), lambda: value_and_grad_flat(x2)
+            # torch skips the closure re-evaluation only on the max_iter'th
+            # iteration ("no use to re-evaluate that function here") — NOT
+            # when the exit reason is the max_eval budget, where the re-eval
+            # runs first and the break happens after it (so .grad/.eval point
+            # land on the final params in that case)
+            last = (k + 1) >= self.max_iter
+            skip = stop_pre | last
+            v2, g2, aux2 = jax.lax.cond(
+                skip, lambda: (v, g, aux), lambda: value_and_grad_flat(x2)
             )
+            x_eval2 = jnp.where(skip, x_eval, x2)
             done = (
                 stop_pre
                 | (jnp.max(jnp.abs(g2)) <= TOLERANCE_GRAD)
                 | (jnp.max(jnp.abs(t * d)) <= TOLERANCE_CHANGE)
                 | (jnp.abs(v2 - v) < TOLERANCE_CHANGE)
             )
-            return k + 1, x2, v2, g2, mem, done
+            return k + 1, x2, v2, g2, mem, done, x_eval2, aux2
 
-        _, flat, _, _, entry, _ = jax.lax.while_loop(
-            cond, body, (jnp.zeros((), jnp.int32), flat0, loss0, g0, entry, done0),
+        _, flat, _, _, entry, _, x_eval, aux = jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros((), jnp.int32), flat0, loss0, g0, entry, done0, flat0, aux0),
         )
-        return combine(unravel(flat), frozen), entry, loss0
+        return (
+            combine(unravel(flat), frozen),
+            entry,
+            loss0,
+            combine(unravel(x_eval), frozen),
+            aux,
+        )
 
 
 def make_lbfgs_train_step(model, dual, cf):
@@ -270,14 +293,18 @@ def make_lbfgs_train_step(model, dual, cf):
     from adaptive_tpu.training.optim import get_lr
     from adaptive_tpu.training.step import StepOutput, clip_lstm_grads, masked_ce_loss
 
+    from adaptive_tpu.ops.dropout import make_dropout
+
     groups = {}
     if dual.decoder_is_lbfgs:
         # the reference's decoder closure clips LSTM grads on EVERY
         # re-evaluation (model_optimize with lstm_clip_grad=True,
-        # train.py:108,213-214) — torch's LBFGS sees clipped gradients
+        # train.py:108,213-214) — torch's LBFGS sees clipped gradients, and
+        # the clip's pre-clip norm from the LAST evaluation is the logged
+        # total_norm[-1] (train.py:219)
         groups["decoder"] = LBFGSGroup(
             dual.decoder_mask, cf.opt_rnn_lbfgs_max_iter, cf.opt_rnn_lbfgs_history,
-            grad_transform=lambda g: clip_lstm_grads(g, cf.train_lstm_maxnormal)[0],
+            grad_transform=lambda g: clip_lstm_grads(g, cf.train_lstm_maxnormal),
         )
     if dual.encoder_is_lbfgs:
         # encoder closure runs with lstm_clip_grad=False (train.py:113)
@@ -287,20 +314,31 @@ def make_lbfgs_train_step(model, dual, cf):
 
     @partial(jax.jit, static_argnames=("encoder_on",), donate_argnums=(0, 1, 2))
     def train_step(params, state, opt_state, batch, rng, encoder_on=False):
+        if model.dropout_rate:
+            # One key for crop/flip, one for dropout (step.py:96-101).
+            # Dropout masks are a trace-time-counter fold of drop_rng
+            # (ops/dropout.py), so every closure evaluation inside the
+            # L-BFGS while_loop sees the SAME masks: the inner objective
+            # stays deterministic, which is what the convergence breaks
+            # assume. (torch would resample per closure call; the reference
+            # hardcodes rate 0 — this knob is an extension.)
+            rng, drop_rng = jax.random.split(rng)
+        else:
+            drop_rng = None
+
         def loss_fn(p, s):
             images = train_preprocess(
                 rng, batch["images"], cf.train_crop_size, model.compute_dtype
             )
-            scores, _, new_s = model.forward(p, s, images, batch["captions"], train=True)
+            scores, _, new_s = model.forward(
+                p, s, images, batch["captions"], train=True, dropout_rng=drop_rng
+            )
             return masked_ce_loss(scores, batch["captions"], batch["lengths"]), new_s
 
-        (loss, new_state), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, state), has_aux=True
-        )(params)
-        grads, lstm_norm = clip_lstm_grads(grads, cf.train_lstm_maxnormal)
         value_fn = lambda p: loss_fn(p, state)[0]  # noqa: E731 - closure for lbfgs
-
         new_opt = dict(opt_state)
+        eval_params = params
+
         if "decoder" in groups:
             # The torch closure re-evaluates the FULL model every inner
             # L-BFGS iteration (train.py:197-219) — but during the decoder
@@ -311,26 +349,57 @@ def make_lbfgs_train_step(model, dual, cf):
             # re-runs only the affine heads + the teacher-forced decoder.
             # Identical math (deterministic preprocess rng, fixed BN batch
             # stats), but the inner loop no longer re-runs — or holds live —
-            # a ResNet-152 forward per evaluation.
+            # a ResNet-152 forward per evaluation. No separate full backward
+            # is needed on this path: loss/BN state come from this forward,
+            # the logged LSTM norm from the group's last evaluation, and the
+            # encoder branch below re-derives its grads at eval_params.
             images = train_preprocess(
                 rng, batch["images"], cf.train_crop_size, model.compute_dtype
             )
-            A_flat, a_g, _ = E.encoder_features(
+            A_flat, a_g, new_state = E.encoder_features(
                 params["encoder"], state, images.astype(model.compute_dtype),
                 model.arch, train=True,
             )
 
             def dec_value_fn(p):
-                V, v_g, h0, c0 = E.encoder_heads(p["encoder"], A_flat, a_g)
+                # fresh closure per trace: its trace-time fold counter starts
+                # at 0 every time, so the initial evaluation and every
+                # while-loop evaluation draw identical masks per site
+                drop = (
+                    make_dropout(drop_rng, model.dropout_rate)
+                    if model.dropout_rate else None
+                )
+                V, v_g, h0, c0 = E.encoder_heads(p["encoder"], A_flat, a_g, drop)
                 scores, _, _ = D.decoder_forward(
-                    p["decoder"], model.spec, V, v_g, batch["captions"], h0, c0
+                    p["decoder"], model.spec, V, v_g, batch["captions"], h0, c0,
+                    drop=drop,
                 )
                 return masked_ce_loss(scores, batch["captions"], batch["lengths"])
 
-            params, new_opt["decoder_lbfgs"], _ = groups["decoder"].step(
-                params, dec_value_fn, opt_state["decoder_lbfgs"], get_lr(opt_state, "decoder")
+            params, new_opt["decoder_lbfgs"], loss, eval_params, lstm_norm = (
+                groups["decoder"].step(
+                    params, dec_value_fn, opt_state["decoder_lbfgs"],
+                    get_lr(opt_state, "decoder"),
+                )
             )
         else:
+            # decoder is adam/sgd (so the encoder group is the lbfgs one):
+            # torch calls the closure exactly once inside step(closure) —
+            # loss, grads, and the logged LSTM norm all come from that single
+            # evaluation. The decoder group never contains resnet (optim.py
+            # param_group_masks) and the encoder-lbfgs step below re-runs its
+            # own closure, so the trunk's weight gradients here are always
+            # discarded: stop_gradient lets XLA DCE the conv backward
+            # (same optimization as step.py:85-95).
+            def initial_loss_fn(p):
+                enc = dict(p["encoder"])
+                enc["resnet"] = jax.lax.stop_gradient(enc["resnet"])
+                return loss_fn({**p, "encoder": enc}, state)
+
+            (loss, new_state), grads = jax.value_and_grad(
+                initial_loss_fn, has_aux=True
+            )(params)
+            grads, lstm_norm = clip_lstm_grads(grads, cf.train_lstm_maxnormal)
             upd, new_opt["decoder"] = dual.decoder_tx.update(
                 grads, opt_state["decoder"], params
             )
@@ -338,12 +407,29 @@ def make_lbfgs_train_step(model, dual, cf):
 
         if encoder_on:
             if "encoder" in groups:
-                params, new_opt["encoder_lbfgs"], _ = groups["encoder"].step(
+                params, new_opt["encoder_lbfgs"], _, _, _ = groups["encoder"].step(
                     params, value_fn, opt_state["encoder_lbfgs"], get_lr(opt_state, "encoder")
                 )
             else:
+                # The reference's encoder_optimizer.step() consumes the .grad
+                # buffers left by the decoder closure's LAST evaluation
+                # (train.py:111-114 after model_optimize) — NOT the first
+                # backward's. Encoder params are untouched by the decoder
+                # step, so re-derive those grads with one full backward at
+                # the decoder group's final evaluation point. Only the
+                # encoder group's own grads are consumed (encoder_tx is
+                # masked): stop_gradient at every other leaf DCEs the unused
+                # per-weight cotangents (notably the [*, 10k] vocab head's).
+                def enc_loss_fn(p):
+                    p = jax.tree.map(
+                        lambda x, m: x if m else jax.lax.stop_gradient(x),
+                        p, dual.encoder_mask,
+                    )
+                    return loss_fn(p, state)[0]
+
+                enc_grads = jax.grad(enc_loss_fn)(eval_params)
                 upd, new_opt["encoder"] = dual.encoder_tx.update(
-                    grads, opt_state["encoder"], params
+                    enc_grads, opt_state["encoder"], params
                 )
                 params = optax.apply_updates(params, upd)
 

@@ -197,6 +197,10 @@ def main_train(cf, mesh=None, dataset: Optional[CocoCaptionDataset] = None):
         scheduler state. Reads the enclosing locals at call time."""
         return {
             "model": cf.atten_model_name,
+            # true (unpadded) vocab size: the embed table's row count is the
+            # PADDED vocab, so consumers peeking model.npz alone would count
+            # the never-trained pad rows as words (bench.py::_checkpoint_vocab)
+            "vocab_length": cf.vocab_length,
             "rng_key": _rng_to_list(rng),
             "global_n_iter": global_n_iter,
             "train_epoch_losses": train_epoch_losses,

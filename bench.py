@@ -65,9 +65,11 @@ def _load_images_dir(path, batch, size=256):
 
     from PIL import Image
 
+    from adaptive_tpu.data.resize import resize_image
+
     files = sorted(
         f for f in g.glob(os.path.join(path, "**", "*"), recursive=True)
-        if f.lower().endswith((".jpg", ".jpeg", ".png"))
+        if f.lower().endswith((".jpg", ".jpeg", ".png")) and os.path.isfile(f)
     )[:batch]
     if not files:
         raise FileNotFoundError(f"no images under {path}")
@@ -76,7 +78,7 @@ def _load_images_dir(path, batch, size=256):
         with Image.open(f) as im:
             im = im.convert("RGB")
             if im.size != (size, size):
-                im = im.resize((size, size), Image.LANCZOS)
+                im = resize_image(im, (size, size))
             return np.asarray(im)
 
     imgs = np.stack([load(f) for f in files])
@@ -84,13 +86,37 @@ def _load_images_dir(path, batch, size=256):
     return np.tile(imgs, (reps, 1, 1, 1))[:batch].astype(np.uint8)
 
 
-def _checkpoint_vocab_length(path):
-    """Peek the checkpoint's decoder embed table for its vocab size."""
+def _checkpoint_vocab(path):
+    """(vocab_length, vocab_pad_multiple) for a checkpoint.
+
+    The embed table's row count is the PADDED vocab (configs ship
+    vocab_pad_multiple=128: 10123 -> 10240), and the pad rows keep their
+    random init (zero gradient under the decode-time NEG_INF mask) — so
+    building the bench model with vocab_length=rows would disable that mask
+    and let 117 junk rows compete in argmax/top_k, distorting exactly the
+    trained-caption behavior a --checkpoint bench measures. manifest.json's
+    vocab_length (recorded by train_loop's resume_meta) is authoritative;
+    pad_multiple=rows reproduces any padded table (ceil(v/rows)*rows == rows
+    whenever v <= rows). Checkpoints predating the manifest field fall back
+    to the old rows-as-vocab read, loudly."""
+    import json
     import os
 
     npz = path if path.endswith(".npz") else os.path.join(path, "model.npz")
     with np.load(npz) as z:
-        return int(z["params|decoder|embed"].shape[0])
+        rows = int(z["params|decoder|embed"].shape[0])
+    manifest = os.path.join(os.path.dirname(npz), "manifest.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            v = json.load(f).get("vocab_length")
+        if v and int(v) <= rows:
+            v = int(v)
+            return v, (rows if rows != v else 1)
+    print(
+        f"WARNING: {manifest} lacks vocab_length; treating all {rows} embed "
+        "rows (incl. any pad rows) as real vocabulary"
+    )
+    return rows, 1
 
 
 def _make_decode_step(args):
@@ -101,11 +127,14 @@ def _make_decode_step(args):
     from adaptive_tpu.decoding import make_beam_decoder, make_greedy_decoder
     from adaptive_tpu.models.factory import build_model
 
+    vocab_len, vocab_pad = (
+        _checkpoint_vocab(args.checkpoint) if args.checkpoint else (10123, 1)
+    )
     cf = load_config(None,
         atten_model_name="adaptive_attention",
         encoder_backbone=args.backbone,
-        vocab_length=_checkpoint_vocab_length(args.checkpoint)
-        if args.checkpoint else 10123,
+        vocab_length=vocab_len,
+        vocab_pad_multiple=vocab_pad,
         compute_dtype=args.dtype,
         eval_batch_size=args.batch,
         beam_size=args.beam,

@@ -269,3 +269,88 @@ def test_auto_resume_cycle(tmp_path, tiny_cf):
     assert "#------------------Training for Epoch 3" in log3
     assert "#------------------Training for Epoch 2" not in log3
     assert any("model-2" in c for c in os.listdir(stable))
+
+
+def test_encoder_group_consumes_last_eval_grads(tiny_cf):
+    """train.py:111-114: after the decoder-LBFGS closure loop,
+    encoder_optimizer.step() consumes the gradients the LAST closure
+    evaluation left in .grad — not the first backward's. SGD's update is
+    linear in the gradient, so an encoder update rebuilt from the INITIAL
+    gradients must land on different params than the step produced."""
+    import optax
+
+    from adaptive_tpu.ops.preprocess import train_preprocess
+    from adaptive_tpu.training.lbfgs import make_lbfgs_train_step
+    from adaptive_tpu.training.step import masked_ce_loss
+
+    cf = tiny_cf.replace(opt_rnn_optimization="lbfgs", opt_rnn_lbfgs_max_iter=3,
+                         opt_cnn_optimization="sgd",
+                         opt_fine_tune_cnn_start_epoch=0)
+    model = build_model(cf)
+    params, state = model.init(jax.random.PRNGKey(0))
+    dual, opt_state = make_dual_optimizer(params, cf)
+    step = make_lbfgs_train_step(model, dual, cf)
+    batch = _batch(cf)
+    key = jax.random.PRNGKey(1)
+    p0 = jax.tree.map(jnp.copy, params)
+    s0 = jax.tree.map(jnp.copy, state)
+    opt0 = jax.tree.map(jnp.copy, opt_state)
+    out = step(params, state, opt_state, batch, key, True)
+
+    def loss0(p):  # the step's initial-forward objective, bit-for-bit
+        images = train_preprocess(key, batch["images"], cf.train_crop_size,
+                                  model.compute_dtype)
+        scores, _, _ = model.forward(p, s0, images, batch["captions"], train=True)
+        return masked_ce_loss(scores, batch["captions"], batch["lengths"])
+
+    g_init = jax.grad(loss0)(p0)
+    upd, _ = dual.encoder_tx.update(g_init, opt0["encoder"], p0)
+    counterfactual = optax.apply_updates(p0, upd)
+
+    masks = jax.tree.leaves(dual.encoder_mask)
+    got = jax.tree.leaves(out.params)
+    cfac = jax.tree.leaves(counterfactual)
+    orig = jax.tree.leaves(p0)
+    enc = [(g, c, o) for g, c, o, m in zip(got, cfac, orig, masks) if m]
+    assert enc, "encoder group is empty?"
+    # both paths moved the encoder ...
+    assert any(not np.allclose(np.asarray(c), np.asarray(o)) for _, c, o in enc)
+    assert any(not np.allclose(np.asarray(g), np.asarray(o)) for g, _, o in enc)
+    # ... but to different points: the step did NOT consume the initial grads
+    assert any(not np.allclose(np.asarray(g), np.asarray(c)) for g, c, _ in enc)
+
+
+def test_lbfgs_step_applies_dropout(tiny_cf):
+    """train_dropout_rate > 0 must act on the lbfgs path too (it was
+    silently ignored: loss_fn passed no dropout_rng). Sharp check: the
+    adam/sgd step and the lbfgs step split the step rng identically and the
+    reported loss is in both cases the first evaluation's, so with the same
+    key the two steps must report the SAME dropped-out loss — and a
+    different one from the rate-0 run."""
+    from adaptive_tpu.training.lbfgs import make_lbfgs_train_step
+    from adaptive_tpu.training.step import make_train_step
+
+    key = jax.random.PRNGKey(5)
+    batch = _batch(tiny_cf)
+    losses = {}
+    for rate in (0.0, 0.5):
+        cfd = tiny_cf.replace(train_dropout_rate=rate)
+        cfl = cfd.replace(opt_rnn_optimization="lbfgs", opt_rnn_lbfgs_max_iter=2)
+        model = build_model(cfl)
+        params, state = model.init(jax.random.PRNGKey(0))
+        dual, opt_state = make_dual_optimizer(params, cfl)
+        out_l = make_lbfgs_train_step(model, dual, cfl)(
+            jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, state),
+            jax.tree.map(jnp.copy, opt_state), batch, key, False)
+
+        model_a = build_model(cfd)
+        dual_a, opt_a = make_dual_optimizer(params, cfd)
+        out_a = make_train_step(model_a, dual_a, cfd)(
+            jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, state),
+            jax.tree.map(jnp.copy, opt_a), batch, key, False)
+        losses[rate] = (float(out_l.loss), float(out_a.loss))
+
+    for rate, (ll, la) in losses.items():
+        np.testing.assert_allclose(ll, la, rtol=1e-5,
+                                   err_msg=f"lbfgs vs adam loss at rate {rate}")
+    assert abs(losses[0.5][0] - losses[0.0][0]) > 1e-4  # dropout changed the loss

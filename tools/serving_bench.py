@@ -32,11 +32,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def percentile(xs, p):
+    """None (JSON null) when the level completed zero requests — float('nan')
+    would make json.dumps emit bare NaN, invalid JSON for line consumers."""
     if not xs:
-        return float("nan")
+        return None
     xs = sorted(xs)
     k = min(len(xs) - 1, max(0, int(round(p / 100.0 * (len(xs) - 1)))))
-    return xs[k]
+    return round(xs[k], 1)
 
 
 def build_service(args):
@@ -78,7 +80,8 @@ def build_service(args):
         rng.integers(0, 255, (args.batch, cf.resized_image_size, cf.resized_image_size, 3),
                      np.uint8)
     )
-    svc.decode(svc.params, svc.state, img)  # warm this shape
+    warm = svc.decode(svc.params, svc.state, img)  # warm this shape
+    _ = float(np.asarray(warm.ids.sum()))  # sync: dispatch is async on this rig
     t0 = time.monotonic()
     for _ in range(5):
         out = svc.decode(svc.params, svc.state, img)
@@ -128,9 +131,9 @@ def run_level(svc, size, qps, duration_s, seed=0):
         "shed": shed,
         "other_errors": errs,
         "goodput_qps": round(ok / duration_s, 2),
-        "p50_ms": round(percentile(lat_ms, 50), 1),
-        "p90_ms": round(percentile(lat_ms, 90), 1),
-        "p99_ms": round(percentile(lat_ms, 99), 1),
+        "p50_ms": percentile(lat_ms, 50),
+        "p90_ms": percentile(lat_ms, 90),
+        "p99_ms": percentile(lat_ms, 99),
     }
 
 
