@@ -31,7 +31,9 @@ class BeamOutput(NamedTuple):
 
 
 def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.0):
-    W = beam_size or max(cf.beam_size, 2)
+    W = beam_size if beam_size is not None else cf.beam_size
+    if W < 1:
+        raise ValueError(f"beam_size must be >= 1, got {W}")
     max_len = cf.decode_max_len
     start = cf.decode_start_token
     eos = cf.decode_eos_token
@@ -59,7 +61,7 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
         V, v_g, h0, c0 = model.encode_inference(None, None, images, prepared=prepared)
         params = {"decoder": prepared["decoder"]}
         B = V.shape[0]
-        K, H = V.shape[1], h0.shape[-1]
+        K = V.shape[1]
 
         def tile(x):  # [B, ...] -> [B*W, ...]
             return jnp.repeat(x, W, axis=0)
@@ -79,7 +81,7 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
             from adaptive_tpu.ops.pallas.fused_step import pad_decode_slots
 
             if beam_major:
-                V_t, pv_t = pad_decode_slots(V, pv)
+                V_t, pv_t = pad_decode_slots(V, pv, beam_w=W)
                 beam_w = W
             else:  # tiled fused layout (escape hatch / unsupported width)
                 V_t, pv_t = pad_decode_slots(tile(V), tile(pv))

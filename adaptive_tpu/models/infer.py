@@ -216,6 +216,15 @@ def resnet_apply_folded_int8(
         return _resnet_int8_carry(folded, x, arch, scales, fused_layers,
                                   fused_tails, interpret, stem_s2d,
                                   bias_corr=bias_corr)
+    if fused_layers or fused_tails:
+        # the dynamic (uncalibrated) path never reads the fusion knobs — an
+        # accepted-but-ignored flag would silently benchmark the wrong path
+        # (same fail-loud rule as factory.py's unsupported-knob guards)
+        raise ValueError(
+            "int8_fused_layers/int8_fused_tails require calibrated static "
+            "scales (int8_scales) — the dynamic per-conv path has no fused "
+            "Pallas kernels; calibrate first or pass fused_*=()"
+        )
     dt = x.dtype
 
     def conv(name, xx, p, stride, pad):

@@ -16,8 +16,10 @@ axis is padded to 64 with zero-padded `wh` rows so padded columns contribute
 nothing. Equals the jnp path (ops/attention.py) to fp32 tolerance — verified
 in tests/test_pallas.py via interpret mode.
 
-Used on the decode hot path (inference); training uses the autodiff'd jnp
-path. Reference math: adaptive_attention.py:26-85.
+The decode hot path runs adaptive_decode_cell_fused (this math PLUS the LSTM
+recurrence) plus the fused vocab-head kernels (greedy_head_argmax /
+beam_head_topk); training uses the autodiff'd jnp path. Reference math:
+adaptive_attention.py:26-85.
 """
 
 from __future__ import annotations
@@ -59,56 +61,6 @@ def beam_major_supported(W: int) -> bool:
     its minimum size is lcm(8, W) — past MAX_ROW_BLOCK the VMEM budget is
     unproven and the kernel refuses (see adaptive_decode_cell_fused)."""
     return W == 1 or (8 * W // math.gcd(8, W)) <= MAX_ROW_BLOCK
-
-
-def _kernel(K: int, x_ref, h_ref, cell_ref, hp_ref, pv_ref, V_ref,
-            wx_ref, whs_ref, wg_ref, ws_ref, wh_ref,
-            chat_ref, alpha_ref, beta_ref):
-    f32 = jnp.float32
-    x = x_ref[:].astype(f32)
-    h = h_ref[:].astype(f32)
-    cell = cell_ref[:].astype(f32)
-    hp = hp_ref[:].astype(f32)
-
-    # sentinel gate (adaptive_attention.py:79-83)
-    gate = jax.nn.sigmoid(
-        jnp.dot(x, wx_ref[:].astype(f32), preferred_element_type=f32)
-        + jnp.dot(hp, whs_ref[:].astype(f32), preferred_element_type=f32)
-    )
-    s = gate * jnp.tanh(cell)  # [Bb, H]
-
-    ph = jnp.dot(h, wg_ref[:].astype(f32), preferred_element_type=f32)  # [Bb, DP]
-    wh = wh_ref[:].astype(f32)  # [1, DP], zero beyond D
-
-    # spatial logits over padded slots
-    content = jnp.tanh(pv_ref[:].astype(f32) + ph[:, None, :])  # [Bb, KP, DP]
-    z = jnp.sum(content * wh[None, :, :], axis=-1)  # [Bb, KP]
-    KP = z.shape[1]
-    kmask = jax.lax.broadcasted_iota(jnp.int32, (1, KP), 1) < K
-    z = jnp.where(kmask, z, NEG)
-
-    # sentinel logit
-    content_s = jnp.tanh(
-        jnp.dot(s, ws_ref[:].astype(f32), preferred_element_type=f32) + ph
-    )  # [Bb, DP]
-    z_s = jnp.sum(content_s * wh[0][None, :], axis=-1, keepdims=True)  # [Bb, 1]
-
-    # K-way softmax (reference returns this alpha, adaptive_attention.py:39)
-    m = jnp.max(z, axis=-1, keepdims=True)
-    e = jnp.where(kmask, jnp.exp(z - m), 0.0)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    alpha = e / denom  # [Bb, KP]
-
-    # (K+1)-way softmax, sentinel share (adaptive_attention.py:50-52)
-    m2 = jnp.maximum(m, z_s)
-    denom2 = denom * jnp.exp(m - m2) + jnp.exp(z_s - m2)
-    beta = jnp.exp(z_s - m2) / denom2  # [Bb, 1]
-
-    # context + mix (adaptive_attention.py:42,54-56)
-    c = jnp.sum(alpha[:, :, None] * V_ref[:].astype(f32), axis=1)  # [Bb, H]
-    chat_ref[:] = (beta * s + (1.0 - beta) * c).astype(chat_ref.dtype)
-    alpha_ref[:] = alpha.astype(alpha_ref.dtype)
-    beta_ref[:] = beta.astype(beta_ref.dtype)
 
 
 def _cell_kernel(K: int, H: int, W: int, gx_ref, h_ref, c_ref, x_ref, hp_ref,
@@ -223,21 +175,46 @@ def _cell_kernel(K: int, H: int, W: int, gx_ref, h_ref, c_ref, x_ref, hp_ref,
     beta_ref[:] = beta.astype(beta_ref.dtype)
 
 
-def pad_decode_slots(V: jnp.ndarray, pv: jnp.ndarray):
-    """Pre-pad V/pv slot+projection axes to the kernel's 64-lane alignment
-    ONCE, outside the decode scan. The fused cell pads internally, but XLA
-    re-materializes in-loop pads (and the beam tile broadcast) of these
-    loop-invariant operands EVERY step — measured 17 ms/iter (pad) +
-    12 ms/iter (tile) at beam batch 1024 on v5e. A zero-width pad is elided,
-    so feeding pre-padded arrays makes the in-kernel pads no-ops; the
-    optimization_barrier pins the materialized buffers outside the loop.
-    Callers pass the REAL slot count to the cell via real_k (the padded
-    V.shape[1] no longer carries it)."""
+def padded_rows(R: int, beam_w: int = 1):
+    """(BP, Bb): the fused cell's padded row count and row block for R rows
+    at beam width beam_w. The row block must hold whole 8-row sublanes and
+    (for beam_w > 1) whole beam groups."""
+    if beam_w == 1:
+        BP = _round_up(R, 8)
+        Bb = min(MAX_ROW_BLOCK, BP)
+        return _round_up(BP, Bb), Bb
+    base = 8 * beam_w // math.gcd(8, beam_w)
+    if base > MAX_ROW_BLOCK:
+        raise ValueError(
+            f"beam_w={beam_w} needs a {base}-row block — past the proven "
+            f"{MAX_ROW_BLOCK}-row VMEM budget. Gate on "
+            "beam_major_supported(W) and fall back to the tiled layout "
+            "(beam_w=1 with V/pv repeated per beam)."
+        )
+    Bb = base * max(1, MAX_ROW_BLOCK // base)
+    return _round_up(R, Bb), Bb
+
+
+def pad_decode_slots(V: jnp.ndarray, pv: jnp.ndarray, beam_w: int = 1):
+    """Pre-pad V/pv slot+projection axes to the kernel's 64-lane alignment —
+    and the image axis to the cell's row block — ONCE, outside the decode
+    scan. The fused cell pads internally, but XLA re-materializes in-loop
+    pads (and the beam tile broadcast) of these loop-invariant operands
+    EVERY step — measured 17 ms/iter (pad) + 12 ms/iter (tile) at beam
+    batch 1024 on v5e; the batch-axis pad bites whenever B*beam_w isn't a
+    multiple of the row block (e.g. serving's batch 32 at beam > 1). A
+    zero-width pad is elided, so feeding pre-padded arrays makes the
+    in-kernel pads no-ops; the optimization_barrier pins the materialized
+    buffers outside the loop. Callers pass the REAL slot count to the cell
+    via real_k (the padded V.shape[1] no longer carries it); the cell reads
+    the real row count from x.shape[0]."""
     B, K, H = V.shape
     D = pv.shape[-1]
     KP, DP = _round_up(K, 64), _round_up(D, 64)
-    V_p = jnp.pad(V, ((0, 0), (0, KP - K), (0, 0)))
-    pv_p = jnp.pad(pv, ((0, 0), (0, KP - K), (0, DP - D)))
+    BP, _ = padded_rows(B * beam_w, beam_w)
+    BPb = BP // beam_w
+    V_p = jnp.pad(V, ((0, BPb - B), (0, KP - K), (0, 0)))
+    pv_p = jnp.pad(pv, ((0, BPb - B), (0, KP - K), (0, DP - D)))
     return jax.lax.optimization_barrier((V_p, pv_p))
 
 
@@ -264,32 +241,19 @@ def adaptive_decode_cell_fused(
     W = beam_w
     B, K_in, H = V.shape
     R = x.shape[0]
-    if R != B * W:
+    BP, Bb = padded_rows(R, W)
+    BPb = BP // W  # padded IMAGE rows for the shared V/pv operands
+    # V/pv may arrive with the image axis pre-padded to the row block
+    # (pad_decode_slots): accept either the real or the padded image count
+    if B * W not in (R, BP):
         raise ValueError(
-            f"row count {R} != V batch {B} * beam_w {W} — beam-major rows "
+            f"V batch {B} * beam_w {W} must equal the row count {R} or its "
+            f"row-block padding {BP} (pad_decode_slots) — beam-major rows "
             "must be batch-major beam copies (jnp.repeat layout)"
         )
     K = real_k or K_in
     D = pv.shape[-1]
     KP, DP = _round_up(K_in, 64), _round_up(D, 64)
-    if W == 1:
-        BP = _round_up(R, 8)
-        Bb = min(64, BP)
-        BP = _round_up(BP, Bb)
-    else:
-        # the row block must hold whole beam groups (Bb % W == 0) and whole
-        # sublanes (Bb % 8 == 0); keep it near the proven 64-row block
-        base = 8 * W // math.gcd(8, W)
-        if base > MAX_ROW_BLOCK:
-            raise ValueError(
-                f"beam_w={W} needs a {base}-row block — past the proven "
-                f"{MAX_ROW_BLOCK}-row VMEM budget. Gate on "
-                "beam_major_supported(W) and fall back to the tiled layout "
-                "(beam_w=1 with V/pv repeated per beam)."
-            )
-        Bb = base * max(1, MAX_ROW_BLOCK // base)
-        BP = _round_up(R, Bb)
-    BPb = BP // W  # padded IMAGE rows for the shared V/pv operands
 
     f32 = jnp.float32
     # input projection as one full-batch MXU matmul, outside the kernel
@@ -532,68 +496,3 @@ def beam_head_topk(
         interpret=interpret,
     )(padB(chat), padB(h), head_kernel, head_bias[None, :])
     return topv[:B], topi[:B], lse[:B]
-
-
-def adaptive_attention_step_fused(
-    atten: dict, sentinel: dict, x: jnp.ndarray, h: jnp.ndarray,
-    cell: jnp.ndarray, h_prev: jnp.ndarray, V: jnp.ndarray,
-    pv: jnp.ndarray, interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Single-token fused step. x [B,2E], h/cell/h_prev [B,H], V [B,K,H],
-    pv [B,K,D]. Returns (c_hat [B,H], alpha [B,K], beta [B,1])."""
-    B, K, H = V.shape
-    D = pv.shape[-1]
-    KP, DP = _round_up(K, 64), _round_up(D, 64)
-    BP = _round_up(B, 8)
-    Bb = min(64, BP)
-    BP = _round_up(BP, Bb)
-
-    f32 = jnp.float32
-    padB = lambda a: jnp.pad(a, ((0, BP - B),) + ((0, 0),) * (a.ndim - 1))
-    x_, h_, cell_, hp_ = (padB(t) for t in (x, h, cell, h_prev))
-    V_ = jnp.pad(V, ((0, BP - B), (0, KP - K), (0, 0)))
-    pv_ = jnp.pad(pv, ((0, BP - B), (0, KP - K), (0, DP - D)))
-
-    wx = sentinel["affine_x"]["kernel"]
-    whs = sentinel["affine_h"]["kernel"]
-    wg = jnp.pad(atten["affine_g"]["kernel"], ((0, 0), (0, DP - D)))
-    ws = jnp.pad(atten["affine_s"]["kernel"], ((0, 0), (0, DP - D)))
-    wh = jnp.pad(atten["affine_h"]["kernel"][:, 0][None, :], ((0, 0), (0, DP - D)))
-
-    E2 = x.shape[-1]
-    grid = (BP // Bb,)
-    row = lambda i: (i, 0)
-    row3 = lambda i: (i, 0, 0)
-    rep = lambda i: (0, 0)
-    out_dtype = h.dtype
-
-    chat, alpha, beta = pl.pallas_call(
-        functools.partial(_kernel, K),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((Bb, E2), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bb, H), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bb, H), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bb, H), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bb, KP, DP), row3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bb, KP, H), row3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((E2, H), rep, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H), rep, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, DP), rep, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, DP), rep, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, DP), rep, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((Bb, H), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bb, KP), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((Bb, 1), row, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((BP, H), out_dtype),
-            jax.ShapeDtypeStruct((BP, KP), f32),
-            jax.ShapeDtypeStruct((BP, 1), f32),
-        ],
-        interpret=interpret,
-    )(x_, h_, cell_, hp_, pv_, V_, wx, whs, wg, ws, wh)
-
-    return chat[:B], alpha[:B, :K], beta[:B]

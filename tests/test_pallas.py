@@ -7,61 +7,6 @@ import numpy as np
 import pytest
 
 from adaptive_tpu.ops import attention as att
-from adaptive_tpu.ops.pallas.fused_step import adaptive_attention_step_fused
-
-
-@pytest.mark.parametrize("B,K,H,E2", [(3, 4, 16, 8), (8, 49, 32, 12)])
-def test_fused_step_matches_jnp(B, K, H, E2):
-    rng = np.random.default_rng(0)
-    D = K
-    f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
-    atten = {
-        "affine_v": {"kernel": f(H, D)},
-        "affine_g": {"kernel": f(H, D)},
-        "affine_s": {"kernel": f(H, D)},
-        "affine_h": {"kernel": f(D, 1)},
-    }
-    sentinel = {"affine_x": {"kernel": f(E2, H)}, "affine_h": {"kernel": f(H, H)}}
-    x, h, cell, hp = f(B, E2), f(B, H), f(B, H), f(B, H)
-    V = f(B, K, H)
-    pv = att.precompute_slots(atten, V)
-
-    # jnp reference path (sequence len 1)
-    s = att.sentinel_gate(sentinel, x[:, None], hp[:, None], cell[:, None])
-    want_chat, want_alpha, want_beta = att.adaptive_attention(atten, V, h[:, None], s, pv)
-
-    got_chat, got_alpha, got_beta = adaptive_attention_step_fused(
-        atten, sentinel, x, h, cell, hp, V, pv, interpret=True
-    )
-    np.testing.assert_allclose(np.asarray(got_chat), np.asarray(want_chat[:, 0]), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(got_alpha), np.asarray(want_alpha[:, 0]), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(got_beta), np.asarray(want_beta[:, 0]), atol=1e-5)
-
-
-def test_fused_step_handles_nondivisible_batch():
-    # B=5 pads to 8; results for real rows must be unaffected by padding
-    rng = np.random.default_rng(1)
-    B, K, H, E2 = 5, 4, 16, 8
-    D = K
-    f = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)
-    atten = {
-        "affine_v": {"kernel": f(H, D)},
-        "affine_g": {"kernel": f(H, D)},
-        "affine_s": {"kernel": f(H, D)},
-        "affine_h": {"kernel": f(D, 1)},
-    }
-    sentinel = {"affine_x": {"kernel": f(E2, H)}, "affine_h": {"kernel": f(H, H)}}
-    x, h, cell, hp = f(B, E2), f(B, H), f(B, H), f(B, H)
-    V = f(B, K, H)
-    pv = att.precompute_slots(atten, V)
-    chat, alpha, beta = adaptive_attention_step_fused(
-        atten, sentinel, x, h, cell, hp, V, pv, interpret=True
-    )
-    assert chat.shape == (B, H) and alpha.shape == (B, K) and beta.shape == (B, 1)
-    np.testing.assert_allclose(np.asarray(alpha.sum(-1)), 1.0, atol=1e-5)
-    assert (np.asarray(beta) > 0).all() and (np.asarray(beta) < 1).all()
-
-
 @pytest.mark.parametrize("B,K,H,E2", [(3, 4, 16, 8), (8, 49, 32, 12)])
 def test_fused_decode_cell_matches_jnp(B, K, H, E2):
     """The v2 kernel (LSTM cell + sentinel + attention, SURVEY §7 step 6)
@@ -131,11 +76,32 @@ def test_fused_decode_cell_prepadded_slots_match(tiny_cf):
         lstm, atten, sentinel, x, h_in, c_in, hp, V, pv, interpret=True
     )
     Vp, pvp = pad_decode_slots(V, pv)
-    assert Vp.shape == (B, 64, H) and pvp.shape == (B, 64, 64)
+    # B=5 also pads to the 8-row sublane on the image axis (the batch pad is
+    # hoisted out of the decode scan too — in-loop pads of loop-invariant
+    # operands re-materialize every step)
+    assert Vp.shape == (8, 64, H) and pvp.shape == (8, 64, 64)
     padded = adaptive_decode_cell_fused(
         lstm, atten, sentinel, x, h_in, c_in, hp, Vp, pvp, real_k=K, interpret=True
     )
     for name, a, b in zip(("h", "c", "chat", "alpha", "beta"), padded, plain):
+        assert a.shape == b.shape, name
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+    # beam-major: W=3 at 5 images -> 15 rows -> 48-row block; image axis
+    # pre-pads to 16 shared V/pv rows while x/h stay at the real 15
+    W = 3
+    rep = lambda a: jnp.repeat(a, W, axis=0)
+    xw, hw, cw, hpw = rep(x), rep(h_in), rep(c_in), rep(hp)
+    plain_w = adaptive_decode_cell_fused(
+        lstm, atten, sentinel, xw, hw, cw, hpw, V, pv, beam_w=W, interpret=True
+    )
+    Vw, pvw = pad_decode_slots(V, pv, beam_w=W)
+    assert Vw.shape == (16, 64, H)
+    padded_w = adaptive_decode_cell_fused(
+        lstm, atten, sentinel, xw, hw, cw, hpw, Vw, pvw, real_k=K, beam_w=W,
+        interpret=True,
+    )
+    for name, a, b in zip(("h", "c", "chat", "alpha", "beta"), padded_w, plain_w):
         assert a.shape == b.shape, name
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
 
@@ -308,7 +274,9 @@ def test_fused_decode_cell_beam_major_matches_tiled(W):
     want = adaptive_decode_cell_fused(
         lstm, atten, sentinel, x, h_in, c_in, hp, V_rep, pv_rep, interpret=True
     )
-    Vp, pvp = pad_decode_slots(V, pv)
+    # pre-pad for the layout the cell will run (slot axes AND the image axis
+    # to the beam-major row block — beam.py passes beam_w the same way)
+    Vp, pvp = pad_decode_slots(V, pv, beam_w=W)
     got = adaptive_decode_cell_fused(
         lstm, atten, sentinel, x, h_in, c_in, hp, Vp, pvp, real_k=K,
         beam_w=W, interpret=True,
