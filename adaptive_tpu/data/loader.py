@@ -90,10 +90,9 @@ class EvalImageDataset:
         return _load_image_uint8(path), info["id"]
 
 
-def pad_to_bucket(caption: Sequence[int], buckets: Sequence[int]) -> int:
-    """Smallest bucket >= len(caption); captions longer than the last bucket
-    are truncated to it (keeps <end> as the final token)."""
-    n = len(caption)
+def pad_to_bucket(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n (a caption length); captions longer than the
+    last bucket are truncated to it (keeps <end> as the final token)."""
     for b in buckets:
         if n <= b:
             return b
@@ -156,7 +155,7 @@ class TrainBatches:
         # the caption bucket must be agreed on by every process, so it comes
         # from the cached token lengths of the FULL global batch (no decode)
         lens = self._caption_lengths()
-        bucket = max(pad_to_bucket(range(lens[i]), self.buckets) for i in idxs)
+        bucket = max(pad_to_bucket(lens[i], self.buckets) for i in idxs)
         if self.process_sharded:
             rows = len(idxs) // self.process_count
             idxs = idxs[self.process_index * rows : (self.process_index + 1) * rows]
@@ -179,7 +178,7 @@ class TrainBatches:
         by_bucket: Dict[int, List[int]] = {b: [] for b in self.buckets}
         lengths = self._caption_lengths()
         for i in order:
-            by_bucket[pad_to_bucket(range(lengths[i]), self.buckets)].append(int(i))
+            by_bucket[pad_to_bucket(lengths[i], self.buckets)].append(int(i))
         batches: List[List[int]] = []
         leftovers: List[int] = []
         for b in self.buckets:

@@ -117,7 +117,11 @@ def coco_eval(
 ) -> float:
     """Returns the split's CIDEr (utils.py:108-250). Pass a prebuilt decoder
     to share one compiled decode program across calls (per-epoch evals)."""
-    assert not (test_mode and valid_mode and train_mode)
+    # at most ONE mode: pairwise conflicts would silently score the wrong
+    # split (test wins every tiebreak below)
+    assert sum((test_mode, valid_mode, train_mode)) <= 1, (
+        "coco_eval modes are mutually exclusive"
+    )
 
     if vocab is None:
         vocab = Vocabulary.load(cf.vocab_path)
@@ -185,6 +189,14 @@ def coco_eval(
         if valid_mode:
             name = _results_name(cf.valid_pretrained_model)
         resFile = os.path.join(d, name)
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() > 0:
+        # every process scores the full split (ids were all-gathered above) —
+        # give non-zero processes their own results file so a peer's write
+        # never truncates the file another process is loading back
+        root, ext = os.path.splitext(resFile)
+        resFile = f"{root}.proc{jax.process_index()}{ext}"
     with open(resFile, "w") as f:
         json.dump(results, f)
 

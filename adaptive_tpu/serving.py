@@ -51,7 +51,7 @@ class CaptionService:
                  batch_size: Optional[int] = None, max_wait_ms: float = 5.0,
                  max_queue: Optional[int] = None,
                  calibration_images: Optional[np.ndarray] = None,
-                 early_exit: bool = False):
+                 early_exit: Optional[bool] = None):
         import jax
 
         from adaptive_tpu.decoding import make_beam_decoder, make_greedy_decoder
@@ -68,6 +68,10 @@ class CaptionService:
         # (177.9 vs 118.2 ms/batch — XLA can no longer unroll/pipeline the
         # small-batch scan; VALIDATION.md round-4). Flip it on for
         # throughput-shaped services with large batches / short captions.
+        # early_exit=None keeps the config's own decode_early_exit (an
+        # explicitly-configured knob must not be silently overwritten).
+        if early_exit is None:
+            early_exit = bool(getattr(cf, "decode_early_exit", False))
         self.cf = cf.replace(vocab_length=len(vocab),
                              decode_early_exit=early_exit)
         self.batch_size = batch_size or cf.eval_batch_size
@@ -139,6 +143,17 @@ class CaptionService:
             with self._lock:
                 self._counters["shed"] += 1
             return {"error": "overloaded", "queue_depth": self._queue.qsize()}
+        if self._stop.is_set():
+            # close() may have set _stop and drained the queue BETWEEN the
+            # pre-enqueue check and our put: nobody would ever service this
+            # request. Abandon it under the lock (claim-once: if the worker
+            # or the drain already claimed it, a reply is coming — fall
+            # through to the normal wait).
+            with self._lock:
+                if not flags["claimed"]:
+                    flags["abandoned"] = True
+                    self._counters["errors"] += 1
+                    return {"error": "service closed"}
         try:
             return reply.get(timeout=timeout)
         except queue.Empty:
@@ -239,7 +254,10 @@ class CaptionService:
             # otherwise double-count and double-put on size-1 reply queues).
             out = self.decode(self.params, self.state, images)
             ids = np.asarray(out.ids)
-            betas = np.asarray(getattr(out, "beta", np.zeros((self.batch_size, 1))))
+            beta_attr = getattr(out, "beta", None)
+            # None (no sentinel gate in this decoder's output) -> empty beta
+            # lists; a zeros fallback would fabricate a [0.0] gate per caption
+            betas = np.asarray(beta_attr) if beta_attr is not None else None
             replies = []
             for i in range(n):
                 caption = self.vocab.decode_ids(ids[i])
@@ -247,7 +265,8 @@ class CaptionService:
                 replies.append(
                     {
                         "caption": caption,
-                        "beta": [float(b) for b in betas[i][:n_words]] if betas.ndim == 2 else [],
+                        "beta": [float(b) for b in betas[i][:n_words]]
+                        if betas is not None and betas.ndim == 2 else [],
                     }
                 )
         except Exception as e:  # surface errors to every live waiter
