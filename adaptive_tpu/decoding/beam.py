@@ -55,8 +55,7 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
     else:
         beam_major = False
 
-    @jax.jit
-    def decode_prepared(prepared, images_u8) -> BeamOutput:
+    def decode_body(prepared, images_u8, tp_axis=None, head_tp=False) -> BeamOutput:
         images = eval_preprocess(images_u8, size, model.compute_dtype)
         V, v_g, h0, c0 = model.encode_inference(None, None, images, prepared=prepared)
         params = {"decoder": prepared["decoder"]}
@@ -114,6 +113,7 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
             logp_top, tok_top, alpha, beta_t, dstate_new = model.beam_decode_step(
                 params, tokens.reshape(B * W), vg_t, dstate, V_t, W,
                 sentinel_prev, pv=pv_t, head=head, beam_w=beam_w,
+                tp_axis=tp_axis, head_tp=head_tp,
             )
             logp_top = logp_top.reshape(B, W, W)
             tok_top = tok_top.reshape(B, W, W)
@@ -224,6 +224,15 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
         best_att = jnp.take_along_axis(att_buf, best[:, None, None, None], axis=1)[:, 0]
         best_beta = jnp.take_along_axis(beta_buf, best[:, None, None], axis=1)[:, 0]
         return BeamOutput(best_ids, best_score, ids_buf, norm_scores, best_att, best_beta)
+
+    # Multi-device mesh: the Pallas fused cell/head must run under shard_map
+    # (decoding/spmd.py); single-device and the XLA fallback are a plain jit.
+    from adaptive_tpu.decoding import spmd
+
+    decode_prepared = spmd.wrap_decode_body(
+        decode_body, spmd.decode_mesh(model, cf), cf.mesh_axes,
+        lambda p: BeamOutput(p, p, p, p, p, p),
+    )
 
     def decode(params, state, images_u8) -> BeamOutput:
         return decode_prepared(prepare(params, state), images_u8)

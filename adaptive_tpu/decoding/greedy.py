@@ -57,12 +57,15 @@ def prepare_cached(model, with_head: bool = True):
         if not (cache and cache[0] is params and cache[1] is state):
             get.misses += 1
             cache[:] = [params, state, prep(params, state)]
+        else:
+            get.hits += 1
         return cache[2]
 
     def clear():
         cache[:] = []
 
     get.misses = 0
+    get.hits = 0
     get.clear = clear
     return get
 
@@ -84,8 +87,7 @@ def make_greedy_decoder(model, cf):
     early_exit = getattr(cf, "decode_early_exit", False)
     prepare = prepare_cached(model)
 
-    @jax.jit
-    def decode_prepared(prepared, images_u8) -> GreedyOutput:
+    def decode_body(prepared, images_u8, tp_axis=None, head_tp=False) -> GreedyOutput:
         images = eval_preprocess(images_u8, size, model.compute_dtype)
         V, v_g, h0, c0 = model.encode_inference(None, None, images, prepared=prepared)
         params = {"decoder": prepared["decoder"]}
@@ -102,7 +104,8 @@ def make_greedy_decoder(model, cf):
         def step(carry, _):
             tok, dstate, finished = carry
             nxt, alpha, beta, dstate = model.greedy_decode_step(
-                params, tok, v_g, dstate, V, sentinel_prev, pv=pv, head=head
+                params, tok, v_g, dstate, V, sentinel_prev, pv=pv, head=head,
+                tp_axis=tp_axis, head_tp=head_tp,
             )
             nxt = jnp.where(finished, eos, nxt)
             finished = finished | (nxt == eos)
@@ -144,6 +147,16 @@ def make_greedy_decoder(model, cf):
             attention=jnp.swapaxes(alphas, 0, 1),
             beta=jnp.swapaxes(betas, 0, 1),
         )
+
+    # On a multi-device mesh the Pallas kernels must run under shard_map
+    # (GSPMD cannot split a custom call) — decoding/spmd.py owns the wrap;
+    # single-device (and the non-Pallas fallback everywhere) is a plain jit.
+    from adaptive_tpu.decoding import spmd
+
+    decode_prepared = spmd.wrap_decode_body(
+        decode_body, spmd.decode_mesh(model, cf), cf.mesh_axes,
+        lambda p: GreedyOutput(p, p, p),
+    )
 
     def decode(params, state, images_u8) -> GreedyOutput:
         return decode_prepared(prepare(params, state), images_u8)

@@ -194,6 +194,7 @@ def decode_step(
     params: Dict, spec: DecoderSpec, token: jnp.ndarray, v_g: jnp.ndarray,
     state: DecodeState, V: jnp.ndarray, sentinel_uses_prev_hidden: bool = False,
     pv: Optional[jnp.ndarray] = None, use_pallas: bool = False,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, DecodeState]:
     """One decode step: token [B] -> (logits [B,vocab], alpha [B,K], beta [B,1], state').
 
@@ -214,7 +215,7 @@ def decode_step(
     if use_pallas and spec.variant == "adaptive_attention":
         h_new, c_new, c_hat, alpha1, beta1 = _fused_cell(
             params, x, state, sentinel_uses_prev_hidden, V, pv,
-            real_k=spec.num_slots,
+            real_k=spec.num_slots, interpret=interpret,
         )
         logits = mask_padded_vocab(spec, _inits.linear(params["adaptive"]["mlp"], c_hat + h_new))
         return logits, alpha1, beta1, DecodeState(h_new, c_new, h_new)
@@ -233,7 +234,7 @@ def decode_step(
 
 
 def _fused_cell(params, x, state, sentinel_uses_prev_hidden, V, pv, real_k=None,
-                beam_w=1):
+                beam_w=1, interpret=False):
     """Fully fused decode cell: LSTM recurrence + sentinel + attention in one
     Pallas kernel (SURVEY §7 step 6); the input projection stays an XLA
     full-batch MXU matmul. real_k: the true slot count when V/pv arrive
@@ -250,26 +251,80 @@ def _fused_cell(params, x, state, sentinel_uses_prev_hidden, V, pv, real_k=None,
     return adaptive_decode_cell_fused(
         params["lstm"], block["atten"], block["sentinel"], x,
         state.h, state.c, hp, V, pv, real_k=real_k, beam_w=beam_w,
+        interpret=interpret,
     )
 
 
+_HEAD_NEG = -1e30  # == ops.pallas.fused_step.NEG (the kernels' -inf stand-in)
+
+
 def prepare_greedy_head(params: Dict, spec: DecoderSpec):
-    """Zero-padded vocab head (kernel [H,Vp'], bias [Vp']) for the fused
-    greedy head+argmax kernel — hoist ONCE per decode, outside the scan
-    (padding inside the scan would copy the 10.5 MB head every step)."""
+    """Padded vocab head (kernel [H,Vp'], bias [Vp']) for the fused
+    greedy/beam head kernels — hoist ONCE per decode, outside the scan
+    (padding inside the scan would copy the 10.5 MB head every step).
+
+    Every bias column past the REAL vocab (the model's vocab-padding params
+    AND the kernel-alignment pad) is set to -1e30: those logits come out
+    <= NEG without any index masking, so a column-sharded head (tensor
+    parallelism) stays correct when each shard's kernel only knows local
+    column indices. Adding any realizable logit magnitude to -1e30 is a
+    no-op in fp32 (ulp ~1e21), so the masked single-device path is
+    bit-identical to before."""
     w = params["adaptive"]["mlp"]["kernel"]
     b = params["adaptive"]["mlp"]["bias"]
     vp = w.shape[1]
     target = -(-vp // 128) * 128
     if target > 1280:
         target = -(-target // 1280) * 1280  # chunk width the kernel uses
-    return jnp.pad(w, ((0, 0), (0, target - vp))), jnp.pad(b, (0, target - vp))
+    w_p = jnp.pad(w, ((0, 0), (0, target - vp)))
+    b_p = jnp.pad(b, (0, target - vp))
+    col = jnp.arange(target)
+    b_p = jnp.where(col < spec.vocab_size, b_p, jnp.asarray(_HEAD_NEG, b_p.dtype))
+    return w_p, b_p
+
+
+def embed_lookup(table: jnp.ndarray, token: jnp.ndarray, tp_axis=None) -> jnp.ndarray:
+    """Embedding row gather, tensor-parallel-aware.
+
+    tp_axis: a shard_map mesh axis name when the call runs inside shard_map
+    with `table` potentially row-sharded over that axis. Each shard
+    contributes its in-range rows (zeros otherwise) and a psum assembles the
+    exact row — ONE shard owns any given token, so the sum is bit-exact. A
+    replicated table degenerates correctly: shard 0's range covers the whole
+    vocab and every other shard's offset pushes all tokens out of range."""
+    if tp_axis is None:
+        return table[token]
+    vloc = table.shape[0]
+    off = jax.lax.axis_index(tp_axis).astype(jnp.int32) * vloc
+    rel = token - off
+    ok = (rel >= 0) & (rel < vloc)
+    emb = jnp.where(ok[:, None], table[jnp.clip(rel, 0, vloc - 1)], 0)
+    return jax.lax.psum(emb, tp_axis)
+
+
+def _tp_merge_topk(topv, topi, k: int, tp_axis):
+    """Merge per-shard top-k lists (GLOBAL indices) across tp_axis into the
+    global top-k, ties -> lower vocab index — the same rule the fused head
+    kernel uses chunk-to-chunk, so the merged list equals the single-device
+    kernel's output bit-for-bit."""
+    allv = jax.lax.all_gather(topv, tp_axis, axis=1, tiled=True)  # [B, S*k]
+    alli = jax.lax.all_gather(topi, tp_axis, axis=1, tiled=True)
+    big = jnp.asarray(2 ** 30, alli.dtype)
+    vs, idxs = [], []
+    for _ in range(k):
+        v = jnp.max(allv, axis=1, keepdims=True)
+        i = jnp.min(jnp.where(allv == v, alli, big), axis=1, keepdims=True)
+        vs.append(v)
+        idxs.append(i)
+        allv = jnp.where(alli == i, jnp.asarray(_HEAD_NEG, allv.dtype), allv)
+    return jnp.concatenate(vs, axis=1), jnp.concatenate(idxs, axis=1)
 
 
 def greedy_decode_step(
     params: Dict, spec: DecoderSpec, token: jnp.ndarray, v_g: jnp.ndarray,
     state: DecodeState, V: jnp.ndarray, sentinel_uses_prev_hidden: bool = False,
     pv: Optional[jnp.ndarray] = None, head=None, use_pallas: bool = False,
+    tp_axis=None, head_tp: bool = False, interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, DecodeState]:
     """One GREEDY step: token [B] -> (next_token [B] i32, alpha, beta, state').
 
@@ -277,22 +332,43 @@ def greedy_decode_step(
     argmax run inside one Pallas kernel against the hoisted `head`
     (prepare_greedy_head) — the [B, ~10k] logits never touch HBM. Otherwise
     identical to argmax over decode_step's logits.
+
+    tp_axis/head_tp: inside shard_map with the embed table (and, when
+    head_tp, the head columns) sharded over the `tp_axis` mesh axis. The
+    column-sharded head runs the top-k kernel (W=1) per shard — NEG bias
+    padding replaces index masking, see prepare_greedy_head — and the
+    (value, global index) pairs merge across shards with the kernel's own
+    tie rule, so ids equal the single-device argmax bit-for-bit.
     """
     if use_pallas and spec.variant == "adaptive_attention" and head is not None:
-        from adaptive_tpu.ops.pallas.fused_step import greedy_head_argmax
+        from adaptive_tpu.ops.pallas.fused_step import beam_head_topk, greedy_head_argmax
 
-        emb = params["embed"][token]
+        emb = embed_lookup(params["embed"], token, tp_axis)
         x = jnp.concatenate([emb, v_g], axis=-1)
         h_new, c_new, c_hat, alpha1, beta1 = _fused_cell(
             params, x, state, sentinel_uses_prev_hidden, V, pv,
-            real_k=spec.num_slots,
+            real_k=spec.num_slots, interpret=interpret,
         )
-        nxt = greedy_head_argmax(head[0], head[1], c_hat, h_new, spec.vocab_size)
+        if head_tp:
+            if tp_axis is None:
+                raise ValueError("head_tp requires tp_axis (a shard_map axis)")
+            vloc = head[0].shape[1]
+            topv, topi, _ = beam_head_topk(
+                head[0], head[1], c_hat, h_new, vloc, 1, interpret=interpret
+            )
+            off = jax.lax.axis_index(tp_axis).astype(jnp.int32) * vloc
+            _, topi = _tp_merge_topk(topv, topi + off, 1, tp_axis)
+            nxt = topi[:, 0]
+        else:
+            nxt = greedy_head_argmax(
+                head[0], head[1], c_hat, h_new, spec.vocab_size,
+                interpret=interpret,
+            )
         return nxt, alpha1, beta1, DecodeState(h_new, c_new, h_new)
 
     logits, alpha, beta, st = decode_step(
         params, spec, token, v_g, state, V, sentinel_uses_prev_hidden,
-        pv=pv, use_pallas=use_pallas,
+        pv=pv, use_pallas=use_pallas, interpret=interpret,
     )
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), alpha, beta, st
 
@@ -302,6 +378,7 @@ def beam_decode_step(
     state: DecodeState, V: jnp.ndarray, k: int,
     sentinel_uses_prev_hidden: bool = False, pv: Optional[jnp.ndarray] = None,
     head=None, use_pallas: bool = False, beam_w: int = 1,
+    tp_axis=None, head_tp: bool = False, interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, DecodeState]:
     """One BEAM step: token [B] -> (logp_top [B,k] f32 normalized log-probs,
     tok_top [B,k] i32, alpha, beta, state').
@@ -323,15 +400,35 @@ def beam_decode_step(
     if use_pallas and spec.variant == "adaptive_attention" and head is not None:
         from adaptive_tpu.ops.pallas.fused_step import beam_head_topk
 
-        emb = params["embed"][token]
+        emb = embed_lookup(params["embed"], token, tp_axis)
         x = jnp.concatenate([emb, v_g], axis=-1)
         h_new, c_new, c_hat, alpha1, beta1 = _fused_cell(
             params, x, state, sentinel_uses_prev_hidden, V, pv,
-            real_k=spec.num_slots, beam_w=beam_w,
+            real_k=spec.num_slots, beam_w=beam_w, interpret=interpret,
         )
-        topv, topi, lse = beam_head_topk(
-            head[0], head[1], c_hat, h_new, spec.vocab_size, k
-        )
+        if head_tp:
+            # column-sharded head (TP inside shard_map): per-shard top-k in
+            # global index space (NEG bias pad replaces the vocab mask), then
+            # the kernel's own chunk-merge rule across shards — topv/topi
+            # equal the single-device kernel bit-for-bit; the per-shard
+            # logsumexp partials cover disjoint column ranges, so their
+            # combine is the true global logsumexp (to fp rounding).
+            if tp_axis is None:
+                raise ValueError("head_tp requires tp_axis (a shard_map axis)")
+            vloc = head[0].shape[1]
+            topv, topi, lse_l = beam_head_topk(
+                head[0], head[1], c_hat, h_new, vloc, k, interpret=interpret
+            )
+            off = jax.lax.axis_index(tp_axis).astype(jnp.int32) * vloc
+            topv, topi = _tp_merge_topk(topv, topi + off, k, tp_axis)
+            alls = jax.lax.all_gather(lse_l, tp_axis, axis=1, tiled=True)  # [B,S]
+            m = jnp.max(alls, axis=1, keepdims=True)
+            lse = jnp.log(jnp.sum(jnp.exp(alls - m), axis=1, keepdims=True)) + m
+        else:
+            topv, topi, lse = beam_head_topk(
+                head[0], head[1], c_hat, h_new, spec.vocab_size, k,
+                interpret=interpret,
+            )
         return topv - lse, topi, alpha1, beta1, DecodeState(h_new, c_new, h_new)
 
     if beam_w > 1:  # dense fallback consumes per-row slots
@@ -347,7 +444,7 @@ def beam_decode_step(
         pv = None if pv is None else jnp.repeat(pv, beam_w, axis=0)
     logits, alpha, beta, st = decode_step(
         params, spec, token, v_g, state, V, sentinel_uses_prev_hidden,
-        pv=pv, use_pallas=use_pallas,
+        pv=pv, use_pallas=use_pallas, interpret=interpret,
     )
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     topv, topi = jax.lax.top_k(logp, k)

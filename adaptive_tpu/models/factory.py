@@ -31,6 +31,9 @@ class CaptionModel(NamedTuple):
     crop_size: int
     compute_dtype: Any
     use_pallas: bool = False
+    # Run the Pallas kernels through the interpreter (CPU tests of the fused
+    # decode path, incl. under shard_map meshes). Never set on real TPU.
+    pallas_interpret: bool = False
     remat_encoder: bool = False
     # Train-time dropout rate at the reference's (hardcoded-zero) Dropout
     # sites (ops/dropout.py; config knob train_dropout_rate). 0.0 == the
@@ -181,28 +184,34 @@ class CaptionModel(NamedTuple):
         return D.decode_step(
             params["decoder"], self.spec, token, v_g, dstate, V,
             sentinel_uses_prev_hidden, pv=pv, use_pallas=self.use_pallas,
+            interpret=self.pallas_interpret,
         )
 
     def greedy_decode_step(self, params, token, v_g, dstate, V,
-                           sentinel_uses_prev_hidden=False, pv=None, head=None):
+                           sentinel_uses_prev_hidden=False, pv=None, head=None,
+                           tp_axis=None, head_tp=False):
         """Greedy variant returning next-token ids directly; with Pallas +
-        adaptive, the vocab head + argmax fuse (no logits in HBM)."""
+        adaptive, the vocab head + argmax fuse (no logits in HBM).
+        tp_axis/head_tp: shard_map tensor parallelism (decoding/spmd.py)."""
         return D.greedy_decode_step(
             params["decoder"], self.spec, token, v_g, dstate, V,
             sentinel_uses_prev_hidden, pv=pv, head=head, use_pallas=self.use_pallas,
+            tp_axis=tp_axis, head_tp=head_tp, interpret=self.pallas_interpret,
         )
 
     def beam_decode_step(self, params, token, v_g, dstate, V, k,
                          sentinel_uses_prev_hidden=False, pv=None, head=None,
-                         beam_w=1):
+                         beam_w=1, tp_axis=None, head_tp=False):
         """Beam variant returning each row's top-k normalized log-probs +
         token ids; with Pallas + adaptive, the vocab head, per-row top-k and
         log-softmax normalizer fuse (no logits in HBM). beam_w > 1 takes
-        UNTILED V/pv (beam-major slot sharing in the fused cell)."""
+        UNTILED V/pv (beam-major slot sharing in the fused cell).
+        tp_axis/head_tp: shard_map tensor parallelism (decoding/spmd.py)."""
         return D.beam_decode_step(
             params["decoder"], self.spec, token, v_g, dstate, V, k,
             sentinel_uses_prev_hidden, pv=pv, head=head, use_pallas=self.use_pallas,
-            beam_w=beam_w,
+            beam_w=beam_w, tp_axis=tp_axis, head_tp=head_tp,
+            interpret=self.pallas_interpret,
         )
 
     def prepare_greedy_head(self, params):

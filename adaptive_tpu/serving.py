@@ -183,10 +183,20 @@ class CaptionService:
         return self.healthy() and self._ready.is_set()
 
     def stats(self) -> Dict:
-        """Counters + histograms snapshot (all plain ints; JSON-safe)."""
+        """Counters + histograms snapshot (all plain ints; JSON-safe).
+
+        prepare_cache_{hits,misses}: the per-checkpoint inference-weight prep
+        is memoized on (params, state) object identity (decoding/greedy.py::
+        prepare_cached). Steady-state serving should show misses == 1; a
+        miss per batch means a caller is rebuilding an identical params
+        pytree each request and silently re-paying the ~8 ms weight prep —
+        observable here instead of a hidden throughput tax."""
+        prep = getattr(self.decode, "prepare", None)
         with self._lock:
             return {
                 **self._counters,
+                "prepare_cache_hits": getattr(prep, "hits", 0),
+                "prepare_cache_misses": getattr(prep, "misses", 0),
                 "queue_depth": self._queue.qsize(),
                 "batch_size": self.batch_size,
                 "latency_ms_hist": {

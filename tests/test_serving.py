@@ -66,6 +66,10 @@ def test_health_ready_and_stats(service):
     assert st["completed"] >= 1 and st["batches"] >= 1
     assert sum(st["latency_ms_hist"].values()) == st["completed"]
     assert sum(st["batch_fill_hist"].values()) == st["batches"]
+    # steady-state serving preps the weights exactly once; a miss per batch
+    # would mean the identity-keyed prepare cache is being defeated
+    assert st["prepare_cache_misses"] == 1
+    assert st["prepare_cache_hits"] == st["batches"] - 1
     # stats must be JSON-serializable (feeds /statz)
     import json
 

@@ -262,6 +262,97 @@ def test_tp_beam_decode_matches_single_device(tiny_cf):
     )
 
 
+def _fused_interpret_model(cf):
+    from adaptive_tpu.models.factory import build_model
+
+    return build_model(cf.replace(use_pallas="always"))._replace(pallas_interpret=True)
+
+
+def test_tp_pallas_greedy_decode_matches_unsharded(tiny_cf, monkeypatch):
+    """The FUSED (Pallas) greedy decode under shard_map on a (4,2) mesh —
+    data-parallel cell, model-sharded embed rows + head columns — produces
+    bit-identical ids to the same fused program on one device (interpret
+    mode stands in for the Mosaic kernels; the shard_map layout, collectives
+    and TP merges are real)."""
+    from adaptive_tpu.decoding import make_greedy_decoder, spmd
+    from adaptive_tpu.parallel.mesh import data_sharding
+
+    cf = tiny_cf.replace(vocab_length=32, mesh_shape=(4, 2), eval_batch_size=8)
+    model = _fused_interpret_model(cf)
+    params, state = model.init(jax.random.PRNGKey(3))
+    imgs = np.random.default_rng(11).integers(0, 255, (8, 72, 72, 3), dtype=np.uint8)
+
+    with monkeypatch.context() as m:
+        m.setattr(spmd, "decode_mesh", lambda *_: None)  # plain-jit fused ref
+        ref = make_greedy_decoder(model, cf)(params, state, jnp.asarray(imgs))
+
+    mesh = make_mesh(cf)
+    # the wrap must actually engage TP on this config
+    prepared = jax.jit(model.prepare_inference)(params, state)
+    _, tp_axis, head_tp = spmd.prepared_specs(prepared, mesh, cf.mesh_axes)
+    assert tp_axis == "model" and head_tp
+
+    p2 = shard_params(params, mesh)
+    assert "model" in str(p2["decoder"]["embed"].sharding.spec)
+    out = make_greedy_decoder(model, cf)(
+        p2, state, jax.device_put(jnp.asarray(imgs), data_sharding(mesh))
+    )
+    np.testing.assert_array_equal(np.asarray(ref.ids), np.asarray(out.ids))
+    np.testing.assert_allclose(
+        np.asarray(ref.attention), np.asarray(out.attention), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(ref.beta), np.asarray(out.beta), atol=1e-6)
+
+
+def test_tp_pallas_beam_decode_matches_unsharded(tiny_cf, monkeypatch):
+    """Fused beam-3 decode under shard_map at (4,2): per-shard top-k over the
+    column-sharded head + cross-shard merge must reproduce the single-device
+    fused program's paths exactly."""
+    from adaptive_tpu.decoding import make_beam_decoder, spmd
+    from adaptive_tpu.parallel.mesh import data_sharding
+
+    cf = tiny_cf.replace(vocab_length=32, mesh_shape=(4, 2), eval_batch_size=8)
+    model = _fused_interpret_model(cf)
+    params, state = model.init(jax.random.PRNGKey(4))
+    imgs = np.random.default_rng(12).integers(0, 255, (8, 72, 72, 3), dtype=np.uint8)
+
+    with monkeypatch.context() as m:
+        m.setattr(spmd, "decode_mesh", lambda *_: None)
+        ref = make_beam_decoder(model, cf, beam_size=3)(params, state, jnp.asarray(imgs))
+
+    mesh = make_mesh(cf)
+    p2 = shard_params(params, mesh)
+    out = make_beam_decoder(model, cf, beam_size=3)(
+        p2, state, jax.device_put(jnp.asarray(imgs), data_sharding(mesh))
+    )
+    np.testing.assert_array_equal(np.asarray(ref.all_ids), np.asarray(out.all_ids))
+    np.testing.assert_allclose(
+        np.asarray(ref.all_scores), np.asarray(out.all_scores), atol=1e-5
+    )
+
+
+def test_dp_pallas_greedy_decode_matches_unsharded(tiny_cf, monkeypatch):
+    """Pure data parallelism for the fused decode: mesh (8,1) (no TP) — the
+    shard_map wrap with tp_axis=None must equal the single-device program."""
+    from adaptive_tpu.decoding import make_greedy_decoder, spmd
+
+    cf = tiny_cf.replace(vocab_length=32, mesh_shape=(8, 1), eval_batch_size=8)
+    model = _fused_interpret_model(cf)
+    params, state = model.init(jax.random.PRNGKey(5))
+    imgs = np.random.default_rng(13).integers(0, 255, (8, 72, 72, 3), dtype=np.uint8)
+
+    with monkeypatch.context() as m:
+        m.setattr(spmd, "decode_mesh", lambda *_: None)
+        ref = make_greedy_decoder(model, cf)(params, state, jnp.asarray(imgs))
+
+    mesh = make_mesh(cf)
+    prepared = jax.jit(model.prepare_inference)(params, state)
+    _, tp_axis, head_tp = spmd.prepared_specs(prepared, mesh, cf.mesh_axes)
+    assert tp_axis is None and not head_tp
+    out = make_greedy_decoder(model, cf)(params, state, jnp.asarray(imgs))
+    np.testing.assert_array_equal(np.asarray(ref.ids), np.asarray(out.ids))
+
+
 def test_coco_eval_tp_mesh(tmp_path, tiny_cf):
     """Full coco_eval (decode_split + scorers) with TP-sharded params on a
     (4,2) mesh — the eval driver's batch placement and the sharded decode
