@@ -184,6 +184,138 @@ def test_process_sharded_loader_rejects_indivisible():
         TrainBatches(dataset=None, batch_size=9, process_index=0, process_count=2)
 
 
+TRAIN_WORKER = r"""
+import os, sys
+sys.path.insert(0, os.environ["REPO"])
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.distributed.initialize(
+    coordinator_address=os.environ["COORD"],
+    num_processes=2,
+    process_id=int(os.environ["PID_IDX"]),
+)
+import json
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from adaptive_tpu.config import Config
+from adaptive_tpu.models.factory import build_model
+from adaptive_tpu.parallel import shard_params
+from adaptive_tpu.parallel.mesh import data_sharding, place_batch
+from adaptive_tpu.training.optim import make_dual_optimizer
+from adaptive_tpu.training.step import make_train_step
+from jax.experimental import multihost_utils
+
+ws = os.environ["WS"]
+cf = Config(
+    atten_model_name="adaptive_attention", encoder_backbone="resnet18",
+    train_crop_size=64, resized_image_size=72, vocab_length=32,
+    adaptive_word_embed_size=8, adaptive_lstm_hidden_size=16,
+    base_word_embed_size=8, base_lstm_hidden_size=16,
+    train_batch_size=8, mesh_shape=(2, 1),
+)
+model = build_model(cf)
+params, state = jax.jit(model.init)(jax.random.PRNGKey(0))  # same on both procs
+dual, opt_state = make_dual_optimizer(params, cf)
+step = make_train_step(model, dual, cf)
+
+mesh = Mesh(np.asarray(jax.devices()).reshape(2, 1), ("data", "model"))
+params = shard_params(params, mesh)
+
+# deterministic global batch; each process holds only ITS half (the
+# process-sharded loader contract) and place_batch(local=True) assembles it
+rng = np.random.default_rng(0)
+B, T = 8, 6
+gbatch = {
+    "images": rng.integers(0, 255, (B, 72, 72, 3), dtype=np.uint8),
+    "captions": rng.integers(1, 32, (B, T)).astype(np.int32),
+    "lengths": np.full((B,), T, np.int32),
+}
+pid, half = jax.process_index(), B // 2
+local = {k: v[pid * half : (pid + 1) * half] for k, v in gbatch.items()}
+batch = place_batch(data_sharding(mesh), local, local=True)
+
+out = step(params, state, opt_state, batch, jax.random.PRNGKey(1), True)
+# the gradient all-reduce rode the 2-process channel; reshard the results to
+# replicated and read the local replica so the parent can compare against
+# the single-process step
+rep = NamedSharding(mesh, P())
+loss = float(np.asarray(jax.device_put(out.loss, rep).addressable_data(0)))
+embed = np.asarray(
+    jax.device_put(out.params["decoder"]["embed"], rep).addressable_data(0)
+)
+# every process writes; the parent checks the two agree bit-for-bit
+np.savez(os.path.join(ws, f"train_step_{jax.process_index()}.npz"),
+         loss=loss, embed=embed)
+"""
+
+
+@pytest.mark.slow  # heavyweight e2e; quick pass skips via -m 'not slow'
+def test_two_process_train_step_matches_single(tmp_path):
+    """A REAL 2-process jax.distributed train step: the gradient all-reduce
+    over the cross-process channel — the one collective the input/eval
+    2-process tests never exercise — must produce the single-process loss
+    and parameter update (VERDICT r4 #3)."""
+    sys.path.insert(0, REPO)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    ws = str(tmp_path)
+    worker_py = os.path.join(ws, "train_worker.py")
+    with open(worker_py, "w") as f:
+        f.write(TRAIN_WORKER)
+    env = {
+        **os.environ, "REPO": REPO, "WS": ws,
+        "COORD": f"localhost:{port}", "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+    }
+    procs = [
+        subprocess.Popen([sys.executable, worker_py], env={**env, "PID_IDX": str(i)},
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-3000:]
+    got = dict(np.load(os.path.join(ws, "train_step_0.npz")))
+    got1 = dict(np.load(os.path.join(ws, "train_step_1.npz")))
+    np.testing.assert_array_equal(got["loss"], got1["loss"])
+    np.testing.assert_array_equal(got["embed"], got1["embed"])
+
+    # single-process reference: same seeds, same global batch, one device
+    import jax
+    from adaptive_tpu.config import Config
+    from adaptive_tpu.models.factory import build_model
+    from adaptive_tpu.training.optim import make_dual_optimizer
+    from adaptive_tpu.training.step import make_train_step
+
+    cf = Config(
+        atten_model_name="adaptive_attention", encoder_backbone="resnet18",
+        train_crop_size=64, resized_image_size=72, vocab_length=32,
+        adaptive_word_embed_size=8, adaptive_lstm_hidden_size=16,
+        base_word_embed_size=8, base_lstm_hidden_size=16,
+        train_batch_size=8, mesh_shape=(-1, 1),
+    )
+    model = build_model(cf)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    dual, opt_state = make_dual_optimizer(params, cf)
+    step = make_train_step(model, dual, cf)
+    rng = np.random.default_rng(0)
+    B, T = 8, 6
+    batch = {
+        "images": rng.integers(0, 255, (B, 72, 72, 3), dtype=np.uint8),
+        "captions": rng.integers(1, 32, (B, T)).astype(np.int32),
+        "lengths": np.full((B,), T, np.int32),
+    }
+    ref = step(params, state, opt_state, batch, jax.random.PRNGKey(1), True)
+    np.testing.assert_allclose(float(ref.loss), float(got["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ref.params["decoder"]["embed"]), got["embed"], atol=1e-5
+    )
+
+
 EVAL_WORKER = r"""
 import os, sys
 sys.path.insert(0, os.environ["REPO"])

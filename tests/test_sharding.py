@@ -405,6 +405,73 @@ def test_coco_eval_engages_mesh_sharding(tmp_path, tiny_cf):
 
 
 @pytest.mark.slow
+def test_flagship_shapes_on_tp_mesh():
+    """Flagship dims on the virtual (4,2) mesh: ResNet-152 @ 224, vocab
+    10,123 padded to 10,240, H=512, 49 attention slots. Every other sharding
+    test runs resnet18 @ 64px with vocab 64 — this is the one place the
+    REAL divisibility/padding interactions (10240/2 head shards, 49->64 slot
+    pad, 117 masked vocab columns) execute before real hardware does.
+    One train step + one greedy decode (GSPMD XLA path) + one fused-Pallas
+    decode (interpret kernels under shard_map). Reference dims:
+    baseline_attention.py:16-18,137-140."""
+    from adaptive_tpu.config import Config
+    from adaptive_tpu.decoding import make_greedy_decoder
+    from adaptive_tpu.models.factory import build_model
+    from adaptive_tpu.parallel.mesh import data_sharding
+    from adaptive_tpu.training.optim import make_dual_optimizer
+    from adaptive_tpu.training.step import make_train_step
+
+    cf = Config(
+        atten_model_name="adaptive_attention", encoder_backbone="resnet152",
+        train_crop_size=224, resized_image_size=256, vocab_length=10123,
+        vocab_pad_multiple=128, train_batch_size=4, eval_batch_size=4,
+        decode_max_len=4, mesh_shape=(4, 2), compute_dtype="float32",
+    )
+    model = build_model(cf)
+    assert model.spec.padded_vocab == 10240 and model.spec.num_slots == 49
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    mesh = make_mesh(cf)
+    p2 = shard_params(params, mesh)
+    assert "model" in str(p2["decoder"]["embed"].sharding.spec)
+    assert "model" in str(p2["decoder"]["adaptive"]["mlp"]["kernel"].sharding.spec)
+
+    # one SPMD train step at the real dims
+    dual, opt_state = make_dual_optimizer(params, cf)
+    step = make_train_step(model, dual, cf)
+    rng = np.random.default_rng(0)
+    B, T = 4, 6
+    batch = shard_batch(mesh, {
+        "images": rng.integers(0, 255, (B, 256, 256, 3), dtype=np.uint8),
+        "captions": rng.integers(1, 10123, (B, T)).astype(np.int32),
+        "lengths": np.full((B,), T, np.int32),
+    })
+    out = step(p2, state, opt_state, batch, jax.random.PRNGKey(1), True)
+    assert np.isfinite(float(out.loss)), float(out.loss)
+    assert "model" in str(out.params["decoder"]["embed"].sharding.spec)
+
+    # greedy decode, GSPMD XLA path (use_pallas off on CPU)
+    imgs = rng.integers(0, 255, (4, 256, 256, 3), dtype=np.uint8)
+    p_dec = jax.tree.map(jnp.copy, out.params)
+    ids_xla = np.asarray(
+        make_greedy_decoder(model, cf)(
+            p_dec, out.model_state, jax.device_put(jnp.asarray(imgs), data_sharding(mesh))
+        ).ids
+    )
+    # the padded-vocab argmax must never emit one of the 117 masked columns
+    assert ids_xla.max() < 10123
+
+    # fused Pallas decode (interpret kernels) under shard_map at (4,2):
+    # 10240/2-column head shards + cross-shard merge at the real dims
+    fused = build_model(cf.replace(use_pallas="always"))._replace(pallas_interpret=True)
+    ids_fused = np.asarray(
+        make_greedy_decoder(fused, cf)(
+            p_dec, out.model_state, jax.device_put(jnp.asarray(imgs), data_sharding(mesh))
+        ).ids
+    )
+    np.testing.assert_array_equal(ids_xla, ids_fused)
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
