@@ -114,9 +114,13 @@ def coco_eval(
     valid_mode: bool = False,
     vocab: Optional[Vocabulary] = None,
     decoder=None,
+    per_image_out: Optional[Dict] = None,
 ) -> float:
     """Returns the split's CIDEr (utils.py:108-250). Pass a prebuilt decoder
-    to share one compiled decode program across calls (per-epoch evals)."""
+    to share one compiled decode program across calls (per-epoch evals).
+    per_image_out: a dict to fill with {image_id: {metric: score}} — the
+    per-image scores back paired statistics (e.g. the int8 gate's
+    bootstrap-CI deltas, tools/int8_gate.py)."""
     # at most ONE mode: pairwise conflicts would silently score the wrong
     # split (test wins every tiebreak below)
     assert sum((test_mode, valid_mode, train_mode)) <= 1, (
@@ -205,6 +209,9 @@ def coco_eval(
     cocoEval = COCOEvalCap(coco, cocoRes)
     cocoEval.params["image_id"] = cocoRes.getImgIds()
     cocoEval.evaluate()
+
+    if per_image_out is not None:
+        per_image_out.update(cocoEval.imgToEval)
 
     cider = 0.0
     for metric, score in cocoEval.eval.items():

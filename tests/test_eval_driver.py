@@ -26,11 +26,19 @@ def test_coco_eval_beam_mode(tmp_path, tiny_cf):
     )
     model = build_model(cf)
     params, state = model.init(jax.random.PRNGKey(0))
-    cider = coco_eval(cf, model, params, state, epoch=1, vocab=vocab)
+    per_image = {}
+    cider = coco_eval(cf, model, params, state, epoch=1, vocab=vocab,
+                      per_image_out=per_image)
     assert np.isfinite(cider)
     with open(os.path.join(str(tmp_path), "val_results", "validation-1.json")) as f:
         results = json.load(f)
     assert len(results) == 5  # one caption per image, last batch padded+deduped
+    # per-image scores back the gate's paired statistics (tools/int8_gate.py):
+    # one entry per image, each with a CIDEr whose mean is the corpus score
+    assert len(per_image) == 5
+    np.testing.assert_allclose(
+        np.mean([v["CIDEr"] for v in per_image.values()]), cider, rtol=1e-9
+    )
 
 
 def test_results_name_no_collision():

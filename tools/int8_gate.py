@@ -113,17 +113,39 @@ def main():
     for name, knobs in ladder:
         c = cf.replace(valid_pretrained_model=ckpt, trainOrnot=False,
                        exp_dir=eval_dir, **knobs)
-        cider = coco_eval(c, valid_mode=True)
-        rows.append((name, cider))
+        per_image = {}
+        cider = coco_eval(c, valid_mode=True, per_image_out=per_image)
+        rows.append((name, cider, per_image))
         print(f"[gate] {name}: CIDEr {cider:.4f}")
 
-    base = rows[0][1]
-    print("\n| Encoder path | CIDEr | delta vs bf16 |")
-    print("|---|---|---|")
-    for name, cider in rows:
-        print(f"| {name} | {cider:.4f} | {cider - base:+.4f} |")
-    out = {n: c for n, c in rows}
-    out["checkpoint"] = ckpt
+    # Paired per-image deltas + bootstrap CI: every mode scores the SAME
+    # checkpoint on the SAME images, so the per-image CIDEr delta removes
+    # the between-image variance that dominates the corpus-score spread —
+    # "within noise" becomes a number (mean delta with a 95% interval), not
+    # a shrug (VERDICT r4 weak #1).
+    import numpy as np
+
+    base_name, base, base_per = rows[0]
+    ids = sorted(base_per.keys())
+    rng = np.random.default_rng(0)
+    print(f"\n| Encoder path | CIDEr | delta vs bf16 | paired 95% CI (n={len(ids)}) |")
+    print("|---|---|---|---|")
+    out = {"checkpoint": ckpt, "n_images": len(ids), "modes": {}}
+    for name, cider, per in rows:
+        if name == base_name:
+            print(f"| {name} | {cider:.4f} | — | — |")
+            out["modes"][name] = {"cider": cider}
+            continue
+        deltas = np.array([per[i]["CIDEr"] - base_per[i]["CIDEr"] for i in ids])
+        boot = rng.choice(deltas, size=(10_000, len(deltas)), replace=True).mean(axis=1)
+        lo, hi = np.percentile(boot, [2.5, 97.5])
+        print(f"| {name} | {cider:.4f} | {cider - base:+.4f} | "
+              f"[{lo:+.4f}, {hi:+.4f}] |")
+        out["modes"][name] = {
+            "cider": cider, "delta": cider - base,
+            "paired_ci95": [float(lo), float(hi)],
+            "delta_nonzero_images": int(np.count_nonzero(deltas)),
+        }
     with open(os.path.join(args.workdir, "gate_results.json"), "w") as f:
         json.dump(out, f, indent=1)
 
