@@ -40,6 +40,7 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
     size = cf.train_crop_size
     sentinel_prev = cf.sampler_sentinel_uses_prev_hidden
     early_exit = getattr(cf, "decode_early_exit", False)
+    scan_prefix = min(getattr(cf, "decode_scan_prefix", 0), max_len)
     # the fused Pallas beam head (beam_head_topk) consumes the same hoisted
     # padded vocab head as greedy; the XLA fallback never reads it
     with_head = model.use_pallas and model.spec.variant == "adaptive_attention"
@@ -162,30 +163,51 @@ def make_beam_decoder(model, cf, beam_size: int = None, length_alpha: float = 0.
             # reconstruction only reads them for steps before each path's
             # <end>, so BeamOutput paths/scores are bit-identical
             # (tests/test_decoding.py::test_beam_early_exit_*).
-            _, ys_sd = jax.eval_shape(step, carry, None)
-            tok0_b = jnp.full((max_len,) + ys_sd[0].shape, eos, ys_sd[0].dtype)
-            par0_b = jnp.broadcast_to(
-                jnp.arange(W, dtype=ys_sd[1].dtype)[None, None, :],
-                (max_len,) + ys_sd[1].shape,
-            )
-            al0_b = jnp.zeros((max_len,) + ys_sd[2].shape, ys_sd[2].dtype)
-            be0_b = jnp.zeros((max_len,) + ys_sd[3].shape, ys_sd[3].dtype)
+            # Two-phase (decode_scan_prefix=P>0): the first P steps run as a
+            # fixed scan XLA can pipeline; only the tail runs under the
+            # while_loop (greedy.py has the rationale + measurements).
+            prefix_ys = None
+            if scan_prefix > 0:
+                carry, prefix_ys = jax.lax.scan(
+                    step, carry, None, length=scan_prefix
+                )
+            tail = max_len - scan_prefix
+            if tail > 0:
+                _, ys_sd = jax.eval_shape(step, carry, None)
+                tok0_b = jnp.full((tail,) + ys_sd[0].shape, eos, ys_sd[0].dtype)
+                par0_b = jnp.broadcast_to(
+                    jnp.arange(W, dtype=ys_sd[1].dtype)[None, None, :],
+                    (tail,) + ys_sd[1].shape,
+                )
+                al0_b = jnp.zeros((tail,) + ys_sd[2].shape, ys_sd[2].dtype)
+                be0_b = jnp.zeros((tail,) + ys_sd[3].shape, ys_sd[3].dtype)
 
-            def cond(s):
-                t, c = s[0], s[1]
-                return (t < max_len) & ~jnp.all(c[2])
+                def cond(s):
+                    t, c = s[0], s[1]
+                    return (t < tail) & ~jnp.all(c[2])
 
-            def body(s):
-                t, c, tok_b, par_b, al_b, be_b = s
-                c, (tok_t, par_t, al_t, be_t) = step(c, None)
-                upd = jax.lax.dynamic_update_index_in_dim
-                return (t + 1, c, upd(tok_b, tok_t, t, 0), upd(par_b, par_t, t, 0),
-                        upd(al_b, al_t, t, 0), upd(be_b, be_t, t, 0))
+                def body(s):
+                    t, c, tok_b, par_b, al_b, be_b = s
+                    c, (tok_t, par_t, al_t, be_t) = step(c, None)
+                    upd = jax.lax.dynamic_update_index_in_dim
+                    return (t + 1, c, upd(tok_b, tok_t, t, 0), upd(par_b, par_t, t, 0),
+                            upd(al_b, al_t, t, 0), upd(be_b, be_t, t, 0))
 
-            (_, (tokens, scores, finished, dstate),
-             tok_hist, parent_hist, alpha_hist, beta_hist) = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), carry, tok0_b, par0_b, al0_b, be0_b)
-            )
+                (_, (tokens, scores, finished, dstate),
+                 tok_hist, parent_hist, alpha_hist, beta_hist) = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), carry, tok0_b, par0_b, al0_b, be0_b)
+                )
+            else:  # prefix covers max_len: degenerates to the fixed loop
+                (tokens, scores, finished, dstate) = carry
+                tok_hist = parent_hist = alpha_hist = beta_hist = None
+            if prefix_ys is not None:
+                if tok_hist is None:
+                    tok_hist, parent_hist, alpha_hist, beta_hist = prefix_ys
+                else:
+                    tok_hist = jnp.concatenate([prefix_ys[0], tok_hist], axis=0)
+                    parent_hist = jnp.concatenate([prefix_ys[1], parent_hist], axis=0)
+                    alpha_hist = jnp.concatenate([prefix_ys[2], alpha_hist], axis=0)
+                    beta_hist = jnp.concatenate([prefix_ys[3], beta_hist], axis=0)
         else:
             (tokens, scores, finished, dstate), (tok_hist, parent_hist, alpha_hist, beta_hist) = jax.lax.scan(
                 step, carry, None, length=max_len

@@ -85,6 +85,7 @@ def make_greedy_decoder(model, cf):
     size = cf.train_crop_size
     sentinel_prev = cf.sampler_sentinel_uses_prev_hidden
     early_exit = getattr(cf, "decode_early_exit", False)
+    scan_prefix = min(getattr(cf, "decode_scan_prefix", 0), max_len)
     prepare = prepare_cached(model)
 
     def decode_body(prepared, images_u8, tp_axis=None, head_tp=False) -> GreedyOutput:
@@ -118,26 +119,47 @@ def make_greedy_decoder(model, cf):
             # prefilled with what the fixed loop WOULD have emitted for
             # all-finished steps (<end> ids; attention/beta zeroed instead
             # of the post-<end> values, cut downstream) so ids match the
-            # scan bit-for-bit.
-            _, ys_sd = jax.eval_shape(step, carry0, None)
-            ids0 = jnp.full((max_len,) + ys_sd[0].shape, eos, ys_sd[0].dtype)
-            al0 = jnp.zeros((max_len,) + ys_sd[1].shape, ys_sd[1].dtype)
-            be0 = jnp.zeros((max_len,) + ys_sd[2].shape, ys_sd[2].dtype)
+            # scan bit-for-bit. Two-phase (decode_scan_prefix=P>0): the first
+            # P steps run as a fixed scan — XLA pipelines it, the dynamic
+            # while_loop it cannot (+50% device time at batch 32,
+            # VALIDATION.md) — and only the tail runs under the while_loop,
+            # seeded with the scan's carry; semantics are unchanged because
+            # the fixed loop's post-finish steps emit exactly the prefill.
+            prefix_ys = None
+            if scan_prefix > 0:
+                carry0, prefix_ys = jax.lax.scan(
+                    step, carry0, None, length=scan_prefix
+                )
+            tail = max_len - scan_prefix
+            if tail > 0:
+                _, ys_sd = jax.eval_shape(step, carry0, None)
+                ids0 = jnp.full((tail,) + ys_sd[0].shape, eos, ys_sd[0].dtype)
+                al0 = jnp.zeros((tail,) + ys_sd[1].shape, ys_sd[1].dtype)
+                be0 = jnp.zeros((tail,) + ys_sd[2].shape, ys_sd[2].dtype)
 
-            def cond(s):
-                t, carry = s[0], s[1]
-                return (t < max_len) & ~jnp.all(carry[2])
+                def cond(s):
+                    t, carry = s[0], s[1]
+                    return (t < tail) & ~jnp.all(carry[2])
 
-            def body(s):
-                t, carry, ids_b, al_b, be_b = s
-                carry, (nxt, alpha, beta) = step(carry, None)
-                upd = jax.lax.dynamic_update_index_in_dim
-                return (t + 1, carry, upd(ids_b, nxt, t, 0),
-                        upd(al_b, alpha, t, 0), upd(be_b, beta, t, 0))
+                def body(s):
+                    t, carry, ids_b, al_b, be_b = s
+                    carry, (nxt, alpha, beta) = step(carry, None)
+                    upd = jax.lax.dynamic_update_index_in_dim
+                    return (t + 1, carry, upd(ids_b, nxt, t, 0),
+                            upd(al_b, alpha, t, 0), upd(be_b, beta, t, 0))
 
-            _, _, ids, alphas, betas = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), carry0, ids0, al0, be0)
-            )
+                _, _, ids, alphas, betas = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), carry0, ids0, al0, be0)
+                )
+            else:  # prefix covers max_len: degenerates to the fixed loop
+                ids = alphas = betas = None
+            if prefix_ys is not None:
+                if ids is None:
+                    ids, alphas, betas = prefix_ys
+                else:
+                    ids = jnp.concatenate([prefix_ys[0], ids], axis=0)
+                    alphas = jnp.concatenate([prefix_ys[1], alphas], axis=0)
+                    betas = jnp.concatenate([prefix_ys[2], betas], axis=0)
         else:
             _, (ids, alphas, betas) = jax.lax.scan(
                 step, carry0, None, length=max_len

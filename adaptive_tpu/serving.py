@@ -51,7 +51,8 @@ class CaptionService:
                  batch_size: Optional[int] = None, max_wait_ms: float = 5.0,
                  max_queue: Optional[int] = None,
                  calibration_images: Optional[np.ndarray] = None,
-                 early_exit: Optional[bool] = None):
+                 early_exit: Optional[bool] = None,
+                 scan_prefix: Optional[int] = None):
         import jax
 
         from adaptive_tpu.decoding import make_beam_decoder, make_greedy_decoder
@@ -70,10 +71,17 @@ class CaptionService:
         # throughput-shaped services with large batches / short captions.
         # early_exit=None keeps the config's own decode_early_exit (an
         # explicitly-configured knob must not be silently overwritten).
+        # scan_prefix (decode_scan_prefix) is early_exit's small-batch fix:
+        # the first N steps stay a pipelined fixed scan, only the tail runs
+        # under the while_loop — set it near the deployment's typical
+        # longest caption to get fixed-loop speed AND the early exit.
         if early_exit is None:
             early_exit = bool(getattr(cf, "decode_early_exit", False))
+        if scan_prefix is None:
+            scan_prefix = int(getattr(cf, "decode_scan_prefix", 0))
         self.cf = cf.replace(vocab_length=len(vocab),
-                             decode_early_exit=early_exit)
+                             decode_early_exit=early_exit,
+                             decode_scan_prefix=scan_prefix)
         self.batch_size = batch_size or cf.eval_batch_size
         self.max_wait = max_wait_ms / 1000.0
         self.image_size = self.cf.resized_image_size

@@ -140,6 +140,7 @@ def _make_decode_step(args):
         beam_size=args.beam,
         decode_beam_major=args.beam_major == "on",
         decode_early_exit=args.early_exit == "on",
+        decode_scan_prefix=args.scan_prefix,
         **({"decode_eos_token": args.eos_token} if args.eos_token >= 0 else {}),
         use_pallas=args.use_pallas,
         encoder_quant=args.quant,
@@ -326,6 +327,10 @@ def main():
                    help="decode: stop the loop once every row/beam emitted <end> "
                         "(decode_early_exit); default off = the reference's "
                         "fixed-30 step count")
+    p.add_argument("--scan-prefix", type=int, default=0,
+                   help="with --early-exit on: run the first N steps as a "
+                        "pipelined fixed scan, while_loop only the tail "
+                        "(decode_scan_prefix; two-phase decode)")
     p.add_argument("--eos-token", type=int, default=-1,
                    help="override decode_eos_token (measurement harness for "
                         "--early-exit: point it at the untrained model's "

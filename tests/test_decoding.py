@@ -237,3 +237,68 @@ def test_beam_early_exit_matches_fixed(setup):
                 np.asarray(a.attention)[r, :n], np.asarray(b.attention)[r, :n])
             np.testing.assert_array_equal(
                 np.asarray(a.beta)[r, :n], np.asarray(b.beta)[r, :n])
+
+
+@pytest.mark.parametrize("prefix", [1, 3, 5])
+def test_greedy_two_phase_matches_fixed(setup, prefix):
+    """decode_scan_prefix=P: scan the first P steps, while_loop the tail.
+    Bit-identical to the fixed loop for every P, including P == max_len
+    (pure scan) and P past the batch's finish step (the scan's post-finish
+    steps emit exactly the while_loop's prefill)."""
+    import dataclasses
+
+    cf, model, params, state, images = setup
+    cf_tp = dataclasses.replace(
+        cf, decode_early_exit=True, decode_scan_prefix=prefix)
+    fixed = make_greedy_decoder(model, cf)
+    two = make_greedy_decoder(model, cf_tp)
+    for p in (params, _with_eos_bias(params, cf)):
+        a, b = fixed(p, state, images), two(p, state, images)
+        np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+        for r in range(images.shape[0]):
+            n = len(_cut(np.asarray(a.ids)[r], cf.decode_eos_token))
+            np.testing.assert_array_equal(
+                np.asarray(a.attention)[r, :n], np.asarray(b.attention)[r, :n])
+            np.testing.assert_array_equal(
+                np.asarray(a.beta)[r, :n], np.asarray(b.beta)[r, :n])
+
+
+@pytest.mark.parametrize("prefix", [1, 3, 5])
+def test_beam_two_phase_matches_fixed(setup, prefix):
+    import dataclasses
+
+    cf, model, params, state, images = setup
+    cf_tp = dataclasses.replace(
+        cf, decode_early_exit=True, decode_scan_prefix=prefix)
+    fixed = make_beam_decoder(model, cf, beam_size=3)
+    two = make_beam_decoder(model, cf_tp, beam_size=3)
+    for p in (params, _with_eos_bias(params, cf)):
+        a, b = fixed(p, state, images), two(p, state, images)
+        np.testing.assert_array_equal(np.asarray(a.all_ids), np.asarray(b.all_ids))
+        np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+        np.testing.assert_allclose(
+            np.asarray(a.all_scores), np.asarray(b.all_scores), rtol=0, atol=0)
+        for r in range(images.shape[0]):
+            n = len(_cut(np.asarray(a.ids)[r], cf.decode_eos_token))
+            np.testing.assert_array_equal(
+                np.asarray(a.attention)[r, :n], np.asarray(b.attention)[r, :n])
+            np.testing.assert_array_equal(
+                np.asarray(a.beta)[r, :n], np.asarray(b.beta)[r, :n])
+
+
+def test_greedy_two_phase_tail_actually_exits(setup):
+    """prefix=2 with the eos-biased head: every row finished during the
+    scan prefix, so the while tail must run ZERO steps — its slots stay
+    prefill (<end>/zeros), proving the two-phase loop short-circuits."""
+    import dataclasses
+
+    cf, model, params, state, images = setup
+    cf_tp = dataclasses.replace(
+        cf, decode_early_exit=True, decode_scan_prefix=2)
+    out = make_greedy_decoder(model, cf_tp)(
+        _with_eos_bias(params, cf), state, images)
+    att = np.asarray(out.attention)
+    assert (np.asarray(out.ids) == cf.decode_eos_token).all()
+    np.testing.assert_allclose(att[:, 0].sum(-1), 1.0, atol=1e-4)
+    # scan prefix computed steps 0-1; the while tail (steps 2+) never ran
+    assert (att[:, 2:] == 0).all()
