@@ -286,6 +286,31 @@ def load_config(source: Any = None, **overrides) -> Config:
         with open(source) as f:
             exec(compile(f.read(), source, "exec"), ns)  # noqa: S102 - by design
         values = {k: v for k, v in ns.items() if k in _CONFIG_FIELDS}
+        # Helper variables in the file are legitimate (the reference's config
+        # builds paths from other paths, cfg_wzn.py:1-12) — but a NEAR-MISS
+        # of a real knob is almost certainly a typo that would otherwise be
+        # ignored silently (e.g. num_epochs vs train_num_epochs). Warn, loud.
+        import difflib
+        import types
+
+        for k, v in ns.items():
+            if (k.startswith("_") or k in _CONFIG_FIELDS
+                    or callable(v) or isinstance(v, types.ModuleType)):
+                continue
+            # knob names group by trailing words (…_embed_size, …_num_epochs):
+            # a long shared suffix is the strongest typo signal, so rank by
+            # it first (train_hidden_size -> …_attention_hidden_size, which
+            # edit distance alone would miss), then fall back to difflib
+            suffix = lambda a, b: len(  # noqa: E731
+                os.path.commonprefix([a[::-1], b[::-1]]))
+            by_suffix = max(sorted(_CONFIG_FIELDS), key=lambda f: suffix(k, f))
+            if suffix(k, by_suffix) >= 8:
+                hint = [by_suffix]
+            else:
+                hint = difflib.get_close_matches(k, _CONFIG_FIELDS, n=1, cutoff=0.7)
+            if hint:
+                print(f"[config] WARNING: '{k}' in {source} is not a Config "
+                      f"field and was IGNORED — did you mean '{hint[0]}'?")
     elif isinstance(source, str) and source.endswith(".json"):
         with open(source) as f:
             raw = json.load(f)

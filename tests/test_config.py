@@ -38,6 +38,20 @@ def test_unknown_override_rejected():
         load_config(None, nonsense_knob=1)
 
 
+def test_near_miss_file_var_warns(tmp_path, capsys):
+    """A file variable that is a near-miss of a real knob (num_epochs vs
+    train_num_epochs) is ignored per the reference's tolerant exec-a-file
+    semantics, but must warn loudly; unrelated helper vars stay silent."""
+    p = tmp_path / "cfg.py"
+    p.write_text("num_epochs = 2\nmy_data_root = '/tmp'\ntrain_batch_size = 7\n")
+    cf = load_config(str(p))
+    assert cf.train_num_epochs == 30  # the typo did NOT take effect
+    assert cf.train_batch_size == 7
+    out = capsys.readouterr().out
+    assert "num_epochs" in out and "train_num_epochs" in out and "IGNORED" in out
+    assert "my_data_root" not in out
+
+
 def test_experiment_dir_and_log_tee(tmp_path, capsys):
     cf = Config(experiment_path=str(tmp_path), trainOrnot=True)
     exp = Experiment(cf, tee_stdout=False)

@@ -71,6 +71,8 @@ def build_service(args):
     svc = CaptionService(
         cf, vocab, batch_size=args.batch, max_wait_ms=args.max_wait_ms,
         calibration_images=calib,
+        early_exit=args.early_exit == "on",
+        scan_prefix=args.scan_prefix,
     )
     t0 = time.monotonic()
     svc.warmup()
@@ -144,6 +146,12 @@ def main():
     p.add_argument("--quant", default="int8", choices=["none", "int8"])
     p.add_argument("--beam", type=int, default=1)
     p.add_argument("--max-wait-ms", type=float, default=20.0)
+    p.add_argument("--early-exit", default="off", choices=["on", "off"],
+                   help="decode_early_exit (measured +50% device time at "
+                        "batch 32 WITHOUT --scan-prefix; VALIDATION.md)")
+    p.add_argument("--scan-prefix", type=int, default=0,
+                   help="two-phase decode: pipelined scan for the first N "
+                        "steps, early-exit while_loop for the tail")
     p.add_argument("--qps", default="8,16,32,64")
     p.add_argument("--duration", type=float, default=20.0)
     args = p.parse_args()
