@@ -253,3 +253,25 @@ def test_overload_shedding(tiny_cf):
         assert svc.stats()["shed"] == 1
     finally:
         svc._stop.set()
+
+
+def test_two_phase_service_matches_default(tiny_cf):
+    """scan_prefix + early_exit at the service level: same caption as the
+    default fixed-loop service for the same image (ids are bit-identical at
+    the decoder level, tests/test_decoding.py; this pins the plumbing)."""
+    vocab = Vocabulary(SPECIALS + [f"w{i}" for i in range(28)])
+    cf = tiny_cf.replace(vocab_length=len(vocab), eval_batch_size=2,
+                         decode_max_len=5)
+    img = np.random.default_rng(3).integers(0, 255, (72, 72, 3), dtype=np.uint8)
+    fixed = CaptionService(cf, vocab, batch_size=2, max_wait_ms=1)
+    try:
+        want = fixed.caption(img, timeout=120)["caption"]
+    finally:
+        fixed.close()
+    two = CaptionService(cf, vocab, batch_size=2, max_wait_ms=1,
+                         early_exit=True, scan_prefix=3)
+    try:
+        assert two.cf.decode_early_exit and two.cf.decode_scan_prefix == 3
+        assert two.caption(img, timeout=120)["caption"] == want
+    finally:
+        two.close()
