@@ -33,6 +33,13 @@ def main():
     p.add_argument("--grad-accum", type=int, default=2)
     p.add_argument("--skip-train", default="",
                    help="path to an existing checkpoint dir: eval-only ladder")
+    p.add_argument("--vocab", default="",
+                   help="use this vocabulary (.json or the reference's "
+                        ".pkl) instead of building one from the synthetic "
+                        "captions — e.g. the reference's real 10,123-word "
+                        "vocab.pkl for flagship-shape decode programs")
+    p.add_argument("--vocab-pad", type=int, default=1,
+                   help="vocab_pad_multiple (configs ship 128: 10123->10240)")
     args = p.parse_args()
 
     from adaptive_tpu.config import load_config
@@ -46,12 +53,19 @@ def main():
         data_dir, num_images=args.images, captions_per_image=2,
         image_size=256, seed=7,
     )
-    vocab = build_vocab((a["caption"] for a in COCO(ann).anns.values()), threshold=1)
+    if args.vocab:
+        from adaptive_tpu.data.vocab import Vocabulary
+
+        vocab = Vocabulary.load(args.vocab)
+    else:
+        vocab = build_vocab(
+            (a["caption"] for a in COCO(ann).anns.values()), threshold=1)
     vocab_path = os.path.join(data_dir, "vocab.json")
     vocab.save(vocab_path)
 
     cf = load_config(
         None,
+        vocab_pad_multiple=args.vocab_pad,
         experiment_path=os.path.join(args.workdir, "Experiments"),
         vocab_path=vocab_path,
         vocab_length=len(vocab),
