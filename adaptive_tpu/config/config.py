@@ -192,14 +192,13 @@ class Config:
     # caption ends (COCO mean length 10.47 vs the 30-step cap, statics:11).
     decode_early_exit: bool = False
     # Two-phase early exit: with decode_early_exit=True, run the first N
-    # steps as a fixed lax.scan (which XLA pipelines/unrolls — the dynamic
-    # while_loop is NOT pipelined and costs +50% device time at batch 32,
-    # VALIDATION.md round-4 early-exit table) and only the remaining
-    # decode_max_len - N steps under the early-exit while_loop. Outputs stay
-    # bit-identical to both the fixed loop and the pure while_loop; 0 keeps
-    # the pure while_loop. Set near the deployment's typical LONGEST caption
-    # (COCO p99 is well under 20, statics:10-13): the scan prefix decodes at
-    # fixed-loop speed and the while tail exits almost immediately.
+    # steps as a fixed lax.scan and only the remaining decode_max_len - N
+    # steps under the early-exit while_loop. Outputs stay bit-identical to
+    # both the fixed loop and the pure while_loop; 0 keeps the pure
+    # while_loop. Escape hatch only: the small-batch while penalty it was
+    # built for was the unhoisted in-loop pad (fixed round 4); round-5
+    # re-measurement shows the pure while_loop equal to the fixed scan at
+    # every measured batch shape (VALIDATION.md round-5).
     decode_scan_prefix: int = 0
     # Mesh: axis names and sizes. -1 means "all remaining devices".
     mesh_axes: Tuple[str, ...] = ("data", "model")

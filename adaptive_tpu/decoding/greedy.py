@@ -120,11 +120,12 @@ def make_greedy_decoder(model, cf):
             # all-finished steps (<end> ids; attention/beta zeroed instead
             # of the post-<end> values, cut downstream) so ids match the
             # scan bit-for-bit. Two-phase (decode_scan_prefix=P>0): the first
-            # P steps run as a fixed scan — XLA pipelines it, the dynamic
-            # while_loop it cannot (+50% device time at batch 32,
-            # VALIDATION.md) — and only the tail runs under the while_loop,
-            # seeded with the scan's carry; semantics are unchanged because
-            # the fixed loop's post-finish steps emit exactly the prefill.
+            # P steps run as a fixed scan and only the tail runs under the
+            # while_loop, seeded with the scan's carry; semantics are
+            # unchanged because the fixed loop's post-finish steps emit
+            # exactly the prefill. (Escape hatch: the small-batch while
+            # penalty it was built for was the unhoisted in-loop pad, fixed
+            # round 4 — VALIDATION.md round-5 re-measurement.)
             prefix_ys = None
             if scan_prefix > 0:
                 carry0, prefix_ys = jax.lax.scan(

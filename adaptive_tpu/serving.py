@@ -61,20 +61,19 @@ class CaptionService:
         self.vocab = vocab
         # early_exit=True swaps the fixed-30 decode scan for a while_loop
         # that stops when every row has emitted <end> (identical outputs —
-        # tests/test_decoding.py pins bit-equality). Measured and NOT the
-        # default here: at large batches the overhead is nil (-0.1% at
-        # batch 2048) and the uplift real (+18% on beam-3's bound), but at
-        # this service's latency-oriented batch 32 the dynamic-trip-count
-        # loop costs +50% device time in the nothing-exits worst case
-        # (177.9 vs 118.2 ms/batch — XLA can no longer unroll/pipeline the
-        # small-batch scan; VALIDATION.md round-4). Flip it on for
-        # throughput-shaped services with large batches / short captions.
+        # tests/test_decoding.py pins bit-equality). Measured safe at every
+        # batch shape (round-5 VALIDATION: worst-case overhead is within
+        # trace noise at batch 32 and 2048 alike — the round-4 "+50% at
+        # batch 32" was the pre-pad-hoist program) and it pays on trained
+        # checkpoints (+2.2% greedy to +15.3% beam-5). Default follows the
+        # config's decode_early_exit (off for reference step-count parity);
+        # production deployments decoding trained models should enable it.
         # early_exit=None keeps the config's own decode_early_exit (an
         # explicitly-configured knob must not be silently overwritten).
-        # scan_prefix (decode_scan_prefix) is early_exit's small-batch fix:
-        # the first N steps stay a pipelined fixed scan, only the tail runs
-        # under the while_loop — set it near the deployment's typical
-        # longest caption to get fixed-loop speed AND the early exit.
+        # scan_prefix (decode_scan_prefix) runs the first N steps as a
+        # fixed scan with only the tail under the while_loop — an escape
+        # hatch kept from when the while path had a small-batch penalty;
+        # no measured shape needs it today (VALIDATION.md round-5).
         if early_exit is None:
             early_exit = bool(getattr(cf, "decode_early_exit", False))
         if scan_prefix is None:

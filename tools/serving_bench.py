@@ -147,8 +147,9 @@ def main():
     p.add_argument("--beam", type=int, default=1)
     p.add_argument("--max-wait-ms", type=float, default=20.0)
     p.add_argument("--early-exit", default="off", choices=["on", "off"],
-                   help="decode_early_exit (measured +50% device time at "
-                        "batch 32 WITHOUT --scan-prefix; VALIDATION.md)")
+                   help="decode_early_exit (round-5: no measurable overhead "
+                        "at any batch shape; pays on trained checkpoints — "
+                        "VALIDATION.md)")
     p.add_argument("--scan-prefix", type=int, default=0,
                    help="two-phase decode: pipelined scan for the first N "
                         "steps, early-exit while_loop for the tail")
